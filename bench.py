@@ -1,0 +1,82 @@
+"""Benchmark: Mray/s on the 1024^2 Cornell box (BASELINE.md headline metric).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Runs on whatever accelerator jax selects (the real TPU chip under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+    from luisarender_tpu.integrators.mega_path import path_trace_batch
+
+    res = 1024
+    spp_warm = 1
+    spp_bench = 8
+    depth = 5
+
+    scene = lr.Scene.from_dict(
+        testing.cornell_box(resolution=(res, res), spp=spp_bench, depth=depth)
+    )
+    compiled = lr.compile_scene(scene)
+    camera = scene.cameras[0]
+    integrator = scene.integrator
+
+    h = w = res
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.int32), jnp.arange(w, dtype=jnp.int32), indexing="ij"
+    )
+    pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+    @jax.jit
+    def bench_pass(arrays, sample_index):
+        rgb, weight, stats = path_trace_batch(
+            compiled,
+            arrays,
+            camera,
+            integrator.sampler,
+            integrator.light_sampler,
+            pixel_xy,
+            sample_index,
+            max_depth=depth,
+            rr_depth=integrator.rr_depth,
+            rr_threshold=integrator.rr_threshold,
+            with_stats=True,
+        )
+        return jnp.sum(rgb), stats["rays"]
+
+    # warmup + compile
+    s, r = bench_pass(compiled.arrays, jnp.int32(0))
+    s.block_until_ready()
+
+    t0 = time.perf_counter()
+    total_rays = 0
+    for i in range(spp_bench):
+        s, r = bench_pass(compiled.arrays, jnp.int32(spp_warm + i))
+        total_rays += int(r)
+        float(s)  # sync
+    dt = time.perf_counter() - t0
+
+    mray_s = total_rays / dt / 1e6
+    # No published baseline exists (BASELINE.json "published": {}) — report
+    # vs_baseline as ratio to our own first-round target of 100 Mray/s.
+    out = {
+        "metric": "cornell_1024_megapath_rays",
+        "value": round(mray_s, 3),
+        "unit": "Mray/s",
+        "vs_baseline": round(mray_s / 100.0, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

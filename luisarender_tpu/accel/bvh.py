@@ -1,0 +1,141 @@
+"""BVH construction (host-side, fully vectorized numpy).
+
+TPU-native replacement for the reference's hardware acceleration structures
+(/root/reference/src/base/geometry.cpp:16,62-67 — LuisaCompute Accel/Mesh,
+i.e. OptiX/DXR BVHs). Since TPUs have no RT cores, we build our own BVH on the
+host and traverse it on-device (see traverse.py / ops/trace_pallas.py).
+
+Design: a *Morton-ordered complete binary tree in heap layout*:
+
+- Triangles are sorted by the Morton code of their AABB centroid (LBVH
+  ordering, Lauterbach et al. 2009).
+- Leaves are fixed-size blocks of `leaf_size` consecutive sorted triangles;
+  the leaf count is padded to a power of two, giving a complete binary tree
+  stored in heap order (children of i are 2i+1, 2i+2). All AABBs are computed
+  bottom-up with vectorized level sweeps — no per-node Python recursion, so a
+  500k-triangle build is a handful of numpy passes.
+- Traversal is *stackless* via precomputed skip links (next node in DFS order
+  when a subtree is culled), which turns the tree walk into a single
+  `lax.while_loop` over a node index per ray — ideal for XLA/TPU where every
+  ray follows the same instruction stream.
+
+The builder intentionally trades tree quality (no SAH) for vectorized build
+speed; traversal correctness is validated against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class BVHArrays(NamedTuple):
+    """Flattened BVH. N = 2*L-1 nodes for L (power-of-two) leaves."""
+
+    aabb_min: np.ndarray  # (N, 3) float32
+    aabb_max: np.ndarray  # (N, 3) float32
+    skip: np.ndarray  # (N,) int32: next DFS node when subtree is skipped; -1 = done
+    prim_index: np.ndarray  # (P_padded,) int32: sorted triangle order (padded with -1)
+    num_leaves: np.ndarray  # () int32: L (leaf k owns prims [k*leaf_size, (k+1)*leaf_size))
+    leaf_size: int
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """Interleave 10 bits per axis; x: (n, 3) in [0, 1024)."""
+    x = x.astype(np.uint64)
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return (spread(x[:, 0]) << np.uint64(2)) | (spread(x[:, 1]) << np.uint64(1)) | spread(
+        x[:, 2]
+    )
+
+
+def build_bvh(
+    positions: np.ndarray, triangles: np.ndarray, leaf_size: int = 4
+) -> BVHArrays:
+    """positions: (V, 3) float32; triangles: (T, 3) int32."""
+    positions = np.asarray(positions, dtype=np.float32)
+    triangles = np.asarray(triangles, dtype=np.int32)
+    t = triangles.shape[0]
+    if t == 0:
+        raise ValueError("cannot build a BVH over zero triangles")
+
+    v0 = positions[triangles[:, 0]]
+    v1 = positions[triangles[:, 1]]
+    v2 = positions[triangles[:, 2]]
+    tri_min = np.minimum(np.minimum(v0, v1), v2)
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+    centroid = (tri_min + tri_max) * 0.5
+
+    scene_min = centroid.min(axis=0)
+    scene_ext = np.maximum(centroid.max(axis=0) - scene_min, 1e-12)
+    quantized = np.clip(
+        ((centroid - scene_min) / scene_ext * 1023.0), 0.0, 1023.0
+    ).astype(np.uint32)
+    order = np.argsort(_morton3(quantized), kind="stable").astype(np.int32)
+
+    num_leaves_raw = -(-t // leaf_size)
+    num_leaves = 1 << max(0, int(np.ceil(np.log2(max(num_leaves_raw, 1)))))
+    p_padded = num_leaves * leaf_size
+    prim_index = np.full(p_padded, -1, dtype=np.int32)
+    prim_index[:t] = order
+
+    # Leaf AABBs (padded entries get inverted boxes that never intersect).
+    big = np.float32(3.0e38)
+    leaf_min = np.full((num_leaves, leaf_size, 3), big, dtype=np.float32)
+    leaf_max = np.full((num_leaves, leaf_size, 3), -big, dtype=np.float32)
+    flat_min = leaf_min.reshape(-1, 3)
+    flat_max = leaf_max.reshape(-1, 3)
+    flat_min[:t] = tri_min[order]
+    flat_max[:t] = tri_max[order]
+    leaf_aabb_min = leaf_min.min(axis=1)
+    leaf_aabb_max = leaf_max.max(axis=1)
+
+    # Heap-layout complete tree: internal nodes 0..L-2, leaves L-1..2L-2.
+    n_nodes = 2 * num_leaves - 1
+    aabb_min = np.empty((n_nodes, 3), dtype=np.float32)
+    aabb_max = np.empty((n_nodes, 3), dtype=np.float32)
+    aabb_min[num_leaves - 1 :] = leaf_aabb_min
+    aabb_max[num_leaves - 1 :] = leaf_aabb_max
+    # Bottom-up union, one vectorized sweep per level.
+    level_start = num_leaves - 1
+    while level_start > 0:
+        parent_start = (level_start - 1) // 2
+        parents = np.arange(parent_start, level_start)
+        left = 2 * parents + 1
+        right = left + 1
+        aabb_min[parents] = np.minimum(aabb_min[left], aabb_min[right])
+        aabb_max[parents] = np.maximum(aabb_max[left], aabb_max[right])
+        level_start = parent_start
+
+    # Skip links: for node i, the next node in DFS order if the subtree rooted
+    # at i is not entered. skip(i) = right sibling of the deepest ancestor
+    # (including i itself) that is a left child; -1 at the root spine.
+    idx = np.arange(n_nodes, dtype=np.int64)
+    cur = idx.copy()
+    skip = np.full(n_nodes, -1, dtype=np.int32)
+    done = np.zeros(n_nodes, dtype=bool)
+    depth = int(np.ceil(np.log2(num_leaves))) + 1 if num_leaves > 1 else 1
+    for _ in range(depth + 1):
+        is_left = (cur % 2 == 1) & (cur > 0)
+        newly = is_left & ~done
+        skip[idx[newly]] = (cur[newly] + 1).astype(np.int32)
+        done |= is_left
+        done |= cur == 0
+        cur = np.where(cur > 0, (cur - 1) // 2, 0)
+
+    return BVHArrays(
+        aabb_min=aabb_min,
+        aabb_max=aabb_max,
+        skip=skip,
+        prim_index=prim_index,
+        num_leaves=np.int32(num_leaves),
+        leaf_size=leaf_size,
+    )

@@ -1,0 +1,131 @@
+"""Diffuse area light over emissive triangles.
+
+TPU-native equivalent of /root/reference/src/lights/diffuse.cpp:114-190:
+alias-table triangle pick by area, uniform barycentric point, area->solid-angle
+pdf conversion, optional two-sided emission, `scale` multiplier.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import frame as fr
+from ..core import sampling
+from ..scene.node import SceneNodeTag
+from ..scene.registry import register
+from ..textures.base import NULL_HANDLE, evaluate_handles
+from .base import Light
+
+
+@register(SceneNodeTag.LIGHT, "diffuse", "Diffuse")
+class DiffuseLight(Light):
+    def __init__(self, scene, desc):
+        super().__init__(scene, desc)
+        self.emission = scene.load_texture(desc.node("emission"))
+        self.scale = desc.float("scale", 1.0)
+        self.two_sided = desc.bool("two_sided", False)
+
+    def compile(self, compiler) -> dict:
+        return {
+            "emission": np.int32(
+                self.emission.compile(compiler) if self.emission else NULL_HANDLE
+            ),
+            "scale": np.float32(self.scale),
+            "two_sided": np.float32(1.0 if self.two_sided else 0.0),
+        }
+
+    @staticmethod
+    def _radiance(params, ctx, it_light, swl):
+        rgba = evaluate_handles(
+            ctx, params["emission"], it_light, default=(1.0, 1.0, 1.0, 0.0)
+        )
+        L = ctx.spectrum.decode_illuminant(rgba[..., :3], swl)
+        return L * params["scale"][..., None]
+
+    @staticmethod
+    def evaluate(params, ctx, it_light, p_from, swl):
+        """Radiance seen from p_from when hitting the light's surface, plus the
+        solid-angle pdf of NEE sampling that point (for MIS)."""
+        wo = fr.normalize(p_from - it_light.p)
+        cos_l = fr.dot(wo, it_light.ng)
+        two_sided = params["two_sided"] > 0.5
+        front = cos_l > 1e-6
+        lit = front | (two_sided & (jnp.abs(cos_l) > 1e-6))
+        L = DiffuseLight._radiance(params, ctx, it_light, swl)
+        L = jnp.where(lit[..., None], L, 0.0)
+        # pdf: uniform-by-area over this light instance's surface
+        entries = ctx.arrays["light_entries"]
+        entry_idx = ctx.arrays["instances"]["light_entry"][it_light.inst]
+        total_area = entries["total_area"][entry_idx]
+        d2 = jnp.sum((p_from - it_light.p) ** 2, axis=-1)
+        pdf = jnp.where(
+            lit,
+            d2 / jnp.maximum(jnp.abs(cos_l) * total_area, 1e-12),
+            0.0,
+        )
+        return {"L": L, "pdf": pdf}
+
+    @staticmethod
+    def sample(params, ctx, entry, p_from, u, swl):
+        # Pick a triangle by area via this entry's slice of the flat alias table.
+        geom = ctx.arrays
+        off = entry["alias_offset"]
+        cnt = entry["tri_count"]
+        prob = geom["light_alias_prob"]
+        alias = geom["light_alias_alias"]
+        n = cnt.astype(jnp.float32)
+        ux = u[..., 0] * n
+        i_local = jnp.clip(ux.astype(jnp.int32), 0, cnt - 1)
+        up = ux - i_local.astype(jnp.float32)
+        p_keep = prob[off + i_local]
+        take_alias = up >= p_keep
+        i_local = jnp.where(take_alias, alias[off + i_local], i_local)
+        tri_id = entry["tri_offset"] + i_local
+
+        tri = geom["triangles"][tri_id]
+        p0 = geom["vertex_p"][tri[..., 0]]
+        p1 = geom["vertex_p"][tri[..., 1]]
+        p2 = geom["vertex_p"][tri[..., 2]]
+        bary = sampling.sample_uniform_triangle(
+            jnp.stack([up, u[..., 1]], axis=-1)
+        )
+        b0, b1 = bary[..., 0], bary[..., 1]
+        b2 = 1.0 - b0 - b1
+        p_light = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+        ng = jnp.cross(p1 - p0, p2 - p0)
+        ng = fr.normalize(ng)
+
+        wo = fr.normalize(p_from - p_light)
+        cos_l = fr.dot(wo, ng)
+        two_sided = params["two_sided"] > 0.5
+        lit = (cos_l > 1e-6) | (two_sided & (jnp.abs(cos_l) > 1e-6))
+
+        # uv for emission texture evaluation at the sampled point
+        uv0 = geom["vertex_uv"][tri[..., 0]]
+        uv1 = geom["vertex_uv"][tri[..., 1]]
+        uv2 = geom["vertex_uv"][tri[..., 2]]
+        uv = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
+        from ..core.types import Interaction
+
+        it_light = Interaction(
+            valid=lit,
+            inst=entry["inst"],
+            prim=tri_id,
+            p=p_light,
+            ng=ng,
+            ns=ng,
+            tangent=p1 - p0,
+            uv=uv,
+            prim_area=jnp.zeros_like(cos_l),
+            back_facing=cos_l < 0.0,
+        )
+        L = DiffuseLight._radiance(params, ctx, it_light, swl)
+        L = jnp.where(lit[..., None], L, 0.0)
+        d2 = jnp.sum((p_from - p_light) ** 2, axis=-1)
+        pdf = jnp.where(
+            lit,
+            d2 / jnp.maximum(jnp.abs(cos_l) * entry["total_area"], 1e-12),
+            0.0,
+        )
+        return {"L": L, "pdf": pdf, "p": p_light, "ng": ng}

@@ -1,0 +1,99 @@
+"""Multi-chip rendering: rays/tiles data-parallel over a device mesh.
+
+TPU-native scale-out that the reference lacks entirely (SURVEY.md §2.D: the
+reference is single-process single-device). Strategy per BASELINE.json:
+rays are embarrassingly parallel — shard the pixel batch over a 1-axis mesh
+with `shard_map`, replicate scene arrays in HBM, keep each device's film rows
+local (no cross-device traffic in the forward pass; gradient reductions are
+the only collectives in the differentiable path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "rays") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def sharded_render_pass(compiled, camera, integrator, mesh: Mesh, resolution=None):
+    """Build a jitted, shard_map'ed render pass.
+
+    Returns fn(arrays, accum, sample_index) -> accum where `accum` rows are
+    sharded over the mesh axis and `arrays` is replicated.
+    """
+    from ..integrators.mega_path import path_trace_batch
+
+    w, h = resolution or camera.film.resolution
+    n_dev = mesh.devices.size
+    if h % n_dev != 0:
+        raise ValueError(f"film height {h} must divide over {n_dev} devices")
+    axis = mesh.axis_names[0]
+    film = camera.film
+    sampler = integrator.sampler
+    light_sampler = integrator.light_sampler
+
+    def local_pass(arrays, accum, sample_index, row0):
+        """Runs per device on its block of rows; accum block (h/n, w, 4)."""
+        hh = accum.shape[0]
+        ys, xs = jnp.meshgrid(
+            jnp.arange(hh, dtype=jnp.int32) + row0,
+            jnp.arange(w, dtype=jnp.int32),
+            indexing="ij",
+        )
+        pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+        rgb, weight = path_trace_batch(
+            compiled,
+            arrays,
+            camera,
+            sampler,
+            light_sampler,
+            pixel_xy,
+            sample_index,
+            max_depth=integrator.max_depth,
+            rr_depth=integrator.rr_depth,
+            rr_threshold=integrator.rr_threshold,
+        )
+        return film.accumulate_image(
+            accum, rgb.reshape(hh, w, 3), weight.reshape(hh, w)
+        )
+
+    def sharded(arrays, accum, sample_index):
+        def per_device(arrays, accum, sample_index):
+            idx = jax.lax.axis_index(axis)
+            row0 = idx.astype(jnp.int32) * (h // n_dev)
+            return local_pass(arrays, accum, sample_index, row0)
+
+        return jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P()),
+            out_specs=P(axis),
+        )(arrays, accum, sample_index)
+
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
+def render_sharded(compiled, camera, integrator, mesh: Mesh, spp=None):
+    """Full multi-device progressive render; returns the developed image."""
+    film = camera.film
+    w, h = film.resolution
+    axis = mesh.axis_names[0]
+    accum = film.prepare()
+    accum = jax.device_put(
+        accum, NamedSharding(mesh, P(axis))
+    )
+    arrays = jax.device_put(
+        compiled.arrays, NamedSharding(mesh, P())
+    )
+    step = sharded_render_pass(compiled, camera, integrator, mesh)
+    for i in range(spp if spp is not None else camera.spp):
+        accum = step(arrays, accum, jnp.int32(i))
+    return film.develop(accum)

@@ -1,0 +1,432 @@
+"""Scene compiler: scene graph -> device SoA arrays + static plan.
+
+TPU-native equivalent of /root/reference/src/base/pipeline.cpp:44-99 and
+base/geometry.cpp:12-163 (Pipeline::create + Geometry build). Where the
+reference materializes device resources (BLAS/TLAS, bindless slots,
+Polymorphic tag tables, constant arenas), this compiler produces:
+
+- `arrays`: one pytree of jnp arrays (the argument of every jitted render
+  function) — flattened world-space triangle soup, instance table
+  (Shape::Handle-equivalent SoA, shape.h:121-192), per-surface-type and
+  per-light-type parameter tables, texture tables, flat light alias tables
+  (geometry.cpp:71-87), and the BVH;
+- `plan`: static metadata (type lists, counts, flags). The jitted render
+  function closes over the plan, so XLA specializes per scene *shape* exactly
+  like LuisaCompute JIT-compiles per-scene kernels.
+
+Instances are flattened to world space (single-level BVH). This trades
+instancing memory for traversal simplicity — the classic TLAS/BLAS split can
+be layered on later without changing the consumer-facing arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.bvh import build_bvh
+from ..accel.traverse import BRUTE_FORCE_MAX_TRIS, TraceGeometry
+from ..core.sampling import build_alias_table
+from ..shapes.base import compute_vertex_normals
+from .scene import Scene
+
+
+@dataclass(frozen=True)
+class ScenePlan:
+    surface_types: tuple  # tuple of Surface classes; index == surface tag
+    light_types: tuple  # tuple of Light classes; index == light tag
+    texture_types: tuple  # tuple of Texture classes; index == handle type tag
+    texture_type_used: tuple  # tuple of bool
+    num_lights: int  # light-list entries (emissive instances)
+    num_instances: int
+    num_tris: int
+    num_vertices: int
+    has_environment: bool
+    env_distance: float
+    any_normal_maps: bool
+    any_alpha: bool
+    use_bvh: bool
+    bvh_num_leaves: int
+    bvh_leaf_size: int
+    spectral_dim: int
+
+
+class ShadingContext:
+    """Bundles device arrays + static plan + scene-static host objects for
+    device-side closures (the analogue of the Pipeline& every reference
+    closure captures)."""
+
+    def __init__(self, arrays, plan, spectrum, environment=None):
+        self.arrays = arrays
+        self.plan = plan
+        self.spectrum = spectrum
+        self.environment = environment
+
+
+@dataclass
+class CompiledScene:
+    arrays: dict  # device pytree
+    plan: ScenePlan  # static
+    scene: Scene  # host node graph
+    spectrum: Any  # SpectrumModel
+
+    def context(self, arrays=None) -> ShadingContext:
+        env = self.scene.environment
+        return ShadingContext(
+            arrays if arrays is not None else self.arrays,
+            self.plan,
+            self.spectrum,
+            environment=env,
+        )
+
+    def trace_geometry(self, arrays=None) -> TraceGeometry:
+        a = (arrays if arrays is not None else self.arrays)["trace"]
+        return TraceGeometry(
+            tri_v0=a["tri_v0"],
+            tri_e1=a["tri_e1"],
+            tri_e2=a["tri_e2"],
+            prim_index=a["prim_index"],
+            aabb_min=a["aabb_min"],
+            aabb_max=a["aabb_max"],
+            skip=a["skip"],
+            num_leaves=jnp.int32(self.plan.bvh_num_leaves),
+            leaf_size=self.plan.bvh_leaf_size,
+            num_tris=self.plan.num_tris,
+        )
+
+
+class SceneCompiler:
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        self.spectrum = scene.spectrum.model()
+        # texture tables
+        self._texture_types: list = []
+        self._texture_rows: list = []  # list of list-of-row-dicts
+        self._texture_cache: dict = {}  # id(node) -> handle
+        # surface tables
+        self._surface_types: list = []
+        self._surface_rows: list = []
+        self._surface_cache: dict = {}  # id(node) -> (tag, index)
+        # light tables
+        self._light_types: list = []
+        self._light_rows: list = []
+        self._light_cache: dict = {}
+
+    # ---- registration API used by plugin compile() methods ----
+    def register_texture_row(self, cls, row: dict) -> int:
+        from ..textures.base import make_handle
+
+        if cls not in self._texture_types:
+            self._texture_types.append(cls)
+            self._texture_rows.append([])
+        type_id = self._texture_types.index(cls)
+        rows = self._texture_rows[type_id]
+        rows.append(row)
+        return make_handle(type_id, len(rows) - 1)
+
+    def compile_texture(self, node) -> int:
+        if node is None:
+            return -1
+        key = id(node)
+        if key not in self._texture_cache:
+            self._texture_cache[key] = node.compile(self)
+        return self._texture_cache[key]
+
+    def compile_surface(self, node):
+        key = id(node)
+        if key not in self._surface_cache:
+            cls = type(node)
+            if cls not in self._surface_types:
+                self._surface_types.append(cls)
+                self._surface_rows.append([])
+            tag = self._surface_types.index(cls)
+            rows = self._surface_rows[tag]
+            rows.append(node.compile(self))
+            self._surface_cache[key] = (tag, len(rows) - 1)
+        return self._surface_cache[key]
+
+    def compile_light(self, node):
+        key = id(node)
+        if key not in self._light_cache:
+            cls = type(node)
+            if cls not in self._light_types:
+                self._light_types.append(cls)
+                self._light_rows.append([])
+            tag = self._light_types.index(cls)
+            rows = self._light_rows[tag]
+            rows.append(node.compile(self))
+            self._light_cache[key] = (tag, len(rows) - 1)
+        return self._light_cache[key]
+
+    # ---- geometry flattening (geometry.cpp:29-163 _process_shape) ----
+    def _walk_shapes(self, time: float):
+        """Yield (shape, world_matrix) for every mesh instance."""
+        out = []
+
+        def walk(shape, parent_m, surface, light, medium, visible):
+            m = parent_m
+            if shape.transform is not None and not shape.transform.is_identity:
+                m = parent_m @ shape.transform.matrix(time)
+            surface = shape.surface or surface
+            light = shape.light or light
+            medium = shape.medium or medium
+            visible = visible and shape.visible
+            if shape.is_mesh:
+                out.append((shape, m, surface, light, medium, visible))
+            else:
+                for child in shape.children():
+                    walk(child, m, surface, light, medium, visible)
+
+        for s in self.scene.shapes:
+            walk(s, np.eye(4), None, None, None, True)
+        return out
+
+    def compile(self, time: float = 0.0) -> CompiledScene:
+        instances = self._walk_shapes(time)
+        if not instances:
+            raise ValueError("scene contains no mesh instances")
+
+        all_p, all_n, all_uv, all_t, all_ti = [], [], [], [], []
+        inst_rows = {
+            "surface_tag": [],
+            "surface_index": [],
+            "light_tag": [],
+            "light_index": [],
+            "light_entry": [],
+            "two_sided": [],
+            "shadow_terminator": [],
+            "intersection_offset": [],
+            "has_normal": [],
+            "has_uv": [],
+        }
+        light_entries = {
+            "inst": [],
+            "alias_offset": [],
+            "tri_offset": [],
+            "tri_count": [],
+            "total_area": [],
+        }
+        alias_prob_flat: list = []
+        alias_alias_flat: list = []
+
+        v_off = 0
+        t_off = 0
+        for inst_id, (shape, m, surface, light, medium, visible) in enumerate(
+            instances
+        ):
+            mesh = shape.mesh()
+            p = mesh.positions.astype(np.float64)
+            pw = (p @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
+            tris = mesh.triangles.astype(np.int32)
+            if mesh.normals is not None:
+                nm = np.linalg.inv(m[:3, :3]).T
+                nw = mesh.normals.astype(np.float64) @ nm.T
+                nw = nw / np.maximum(
+                    np.linalg.norm(nw, axis=-1, keepdims=True), 1e-12
+                )
+                nw = nw.astype(np.float32)
+                has_n = True
+            else:
+                nw = compute_vertex_normals(pw, tris)
+                has_n = False
+            uv = (
+                mesh.uvs.astype(np.float32)
+                if mesh.uvs is not None
+                else np.zeros((pw.shape[0], 2), np.float32)
+            )
+            has_uv = mesh.uvs is not None
+
+            all_p.append(pw)
+            all_n.append(nw)
+            all_uv.append(uv)
+            all_t.append(tris + v_off)
+            all_ti.append(np.full(tris.shape[0], inst_id, np.int32))
+
+            # surface/light registration
+            if surface is not None and not getattr(surface, "is_null", False):
+                s_tag, s_idx = self.compile_surface(surface)
+            else:
+                s_tag, s_idx = -1, 0
+            if light is not None and not getattr(light, "is_null", False):
+                l_tag, l_idx = self.compile_light(light)
+                # per-instance light entry with area alias table
+                e0 = pw[tris[:, 1]] - pw[tris[:, 0]]
+                e1 = pw[tris[:, 2]] - pw[tris[:, 0]]
+                areas = 0.5 * np.linalg.norm(np.cross(e0, e1), axis=-1)
+                table = build_alias_table(areas)
+                entry_id = len(light_entries["inst"])
+                light_entries["inst"].append(inst_id)
+                light_entries["alias_offset"].append(len(alias_prob_flat))
+                light_entries["tri_offset"].append(t_off)
+                light_entries["tri_count"].append(tris.shape[0])
+                light_entries["total_area"].append(float(areas.sum()))
+                alias_prob_flat.extend(np.asarray(table.prob).tolist())
+                alias_alias_flat.extend(np.asarray(table.alias).tolist())
+            else:
+                l_tag, l_idx, entry_id = -1, 0, -1
+
+            two_sided = shape.two_sided
+            if two_sided is None:
+                two_sided = False
+            inst_rows["surface_tag"].append(s_tag)
+            inst_rows["surface_index"].append(s_idx)
+            inst_rows["light_tag"].append(l_tag)
+            inst_rows["light_index"].append(l_idx)
+            inst_rows["light_entry"].append(entry_id)
+            inst_rows["two_sided"].append(1.0 if two_sided else 0.0)
+            inst_rows["shadow_terminator"].append(
+                shape.shadow_terminator
+                if shape.shadow_terminator >= 0
+                else self.scene.shadow_terminator
+            )
+            inst_rows["intersection_offset"].append(
+                shape.intersection_offset
+                if shape.intersection_offset >= 0
+                else self.scene.intersection_offset
+            )
+            inst_rows["has_normal"].append(1.0 if has_n else 0.0)
+            inst_rows["has_uv"].append(1.0 if has_uv else 0.0)
+
+            v_off += pw.shape[0]
+            t_off += tris.shape[0]
+
+        vertex_p = np.concatenate(all_p, axis=0)
+        vertex_n = np.concatenate(all_n, axis=0)
+        vertex_uv = np.concatenate(all_uv, axis=0)
+        triangles = np.concatenate(all_t, axis=0)
+        tri_inst = np.concatenate(all_ti, axis=0)
+        num_tris = triangles.shape[0]
+
+        # environment (compiled before building arrays so its textures land
+        # in the texture tables)
+        env = self.scene.environment
+        has_env = env is not None and not getattr(env, "is_null", False)
+        if has_env:
+            env.compile(self)
+
+        # BVH (always built; brute force is chosen at trace time for tiny
+        # scenes, traverse.py BRUTE_FORCE_MAX_TRIS)
+        bvh = build_bvh(vertex_p, triangles)
+        sorted_tris = triangles[np.maximum(bvh.prim_index, 0)]
+        tv0 = vertex_p[sorted_tris[:, 0]]
+        tv1 = vertex_p[sorted_tris[:, 1]]
+        tv2 = vertex_p[sorted_tris[:, 2]]
+
+        world_min = vertex_p.min(axis=0)
+        world_max = vertex_p.max(axis=0)
+        env_distance = float(np.linalg.norm(world_max - world_min)) * 2.0 + 1.0
+
+        def stack_rows(rows_list):
+            out = []
+            for rows in rows_list:
+                keys = rows[0].keys()
+                out.append(
+                    {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in keys}
+                )
+            return out
+
+        arrays = {
+            "vertex_p": jnp.asarray(vertex_p),
+            "vertex_n": jnp.asarray(vertex_n),
+            "vertex_uv": jnp.asarray(vertex_uv),
+            "triangles": jnp.asarray(triangles),
+            "tri_inst": jnp.asarray(tri_inst),
+            "instances": {
+                k: jnp.asarray(
+                    np.asarray(
+                        v,
+                        dtype=np.int32
+                        if k
+                        in (
+                            "surface_tag",
+                            "surface_index",
+                            "light_tag",
+                            "light_index",
+                            "light_entry",
+                        )
+                        else np.float32,
+                    )
+                )
+                for k, v in inst_rows.items()
+            },
+            "light_entries": {
+                k: jnp.asarray(
+                    np.asarray(
+                        v, dtype=np.float32 if k == "total_area" else np.int32
+                    )
+                )
+                for k, v in light_entries.items()
+            },
+            "light_alias_prob": jnp.asarray(
+                np.asarray(alias_prob_flat, np.float32)
+                if alias_prob_flat
+                else np.zeros(1, np.float32)
+            ),
+            "light_alias_alias": jnp.asarray(
+                np.asarray(alias_alias_flat, np.int32)
+                if alias_alias_flat
+                else np.zeros(1, np.int32)
+            ),
+            "surfaces": stack_rows(self._surface_rows),
+            "lights": stack_rows(self._light_rows),
+            "textures": {
+                cls.impl_names[0]: {
+                    k: jnp.asarray(np.stack([r[k] for r in rows]))
+                    for k in (rows[0].keys() if rows else [])
+                }
+                for cls, rows in zip(self._texture_types, self._texture_rows)
+            },
+            "trace": {
+                "tri_v0": jnp.asarray(tv0),
+                "tri_e1": jnp.asarray(tv1 - tv0),
+                "tri_e2": jnp.asarray(tv2 - tv0),
+                "prim_index": jnp.asarray(bvh.prim_index),
+                "aabb_min": jnp.asarray(bvh.aabb_min),
+                "aabb_max": jnp.asarray(bvh.aabb_max),
+                "skip": jnp.asarray(bvh.skip),
+            },
+            "world_min": jnp.asarray(world_min),
+            "world_max": jnp.asarray(world_max),
+        }
+        if has_env and hasattr(env, "device_arrays"):
+            arrays["environment"] = env.device_arrays()
+
+        any_nm = any(
+            any(int(np.asarray(r.get("normal_map", -1))) >= 0 for r in rows)
+            for rows in self._surface_rows
+        )
+        any_alpha = any(
+            any(int(np.asarray(r.get("alpha", -1))) >= 0 for r in rows)
+            for rows in self._surface_rows
+        )
+
+        plan = ScenePlan(
+            surface_types=tuple(self._surface_types),
+            light_types=tuple(self._light_types),
+            texture_types=tuple(self._texture_types),
+            texture_type_used=tuple(
+                bool(rows) for rows in self._texture_rows
+            ),
+            num_lights=len(light_entries["inst"]),
+            num_instances=len(instances),
+            num_tris=num_tris,
+            num_vertices=vertex_p.shape[0],
+            has_environment=has_env,
+            env_distance=env_distance,
+            any_normal_maps=any_nm,
+            any_alpha=any_alpha,
+            use_bvh=num_tris > BRUTE_FORCE_MAX_TRIS,
+            bvh_num_leaves=int(bvh.num_leaves),
+            bvh_leaf_size=int(bvh.leaf_size),
+            spectral_dim=self.spectrum.dimension,
+        )
+        return CompiledScene(
+            arrays=arrays, plan=plan, scene=self.scene, spectrum=self.spectrum
+        )
+
+
+def compile_scene(scene: Scene, time: float = 0.0) -> CompiledScene:
+    return SceneCompiler(scene).compile(time)

@@ -1,0 +1,162 @@
+"""Surface (BSDF) interface and scene-static polymorphic dispatch.
+
+TPU-native equivalent of /root/reference/src/base/surface.h:37-144. The
+reference's node/Instance/Closure triple becomes:
+
+- host node (this class): parses textures/params, `compile()` packs one row of
+  per-instance parameters (numpy scalars + texture handles);
+- device "closure": pure static methods `evaluate`/`sample` operating on
+  batched gathered parameter rows — the staged DSL closure becomes a traced
+  JAX function specialized per scene.
+
+Polymorphism: the wavefront integrator sorts by surface tag and calls one
+type per segment; the megakernel path uses `dispatch_*` below (compute every
+type present, select by tag mask) — the XLA analogue of
+`Polymorphic::dispatch` + `$switch` (base/pipeline.h:75-77).
+
+Conventions (verified against integrators/mega_path.cpp:114-144):
+- `f` INCLUDES the |cos(theta_i)| factor;
+- pdf is solid-angle measure; pdf == 0 marks an invalid sample;
+- wo points away from the surface (towards the previous vertex), world space.
+
+Wrapper features of the reference (NormalMap/TwoSided/Opacity,
+surface.h:160-330) are data-driven here: every surface row carries optional
+`normal_map`/`alpha` texture handles and a `two_sided` flag.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+import jax
+
+from ..core import frame as fr
+from ..scene.scene import SceneNode
+from ..textures.base import NULL_HANDLE, evaluate_handles
+
+# Surface event codes (surface.h:37-41).
+EVENT_REFLECT = 0
+EVENT_ENTER = 1
+EVENT_EXIT = 2
+EVENT_THROUGH = 3
+
+# Property bits (surface.h:142-144).
+PROPERTY_REFLECTIVE = 1 << 0
+PROPERTY_TRANSMISSIVE = 1 << 1
+PROPERTY_THIN = 1 << 2
+
+
+class Surface(SceneNode):
+    properties: int = PROPERTY_REFLECTIVE
+
+    def __init__(self, scene, desc):
+        super().__init__(scene, desc)
+        self.normal_map = scene.load_texture(desc.node("normal_map"))
+        self.alpha = scene.load_texture(desc.node("alpha"))
+        self.two_sided = desc.bool("two_sided", False)
+
+    # --- host compile ---
+    def compile_common(self, compiler) -> dict:
+        return {
+            "normal_map": np.int32(
+                self.normal_map.compile(compiler) if self.normal_map else NULL_HANDLE
+            ),
+            "alpha": np.int32(
+                self.alpha.compile(compiler) if self.alpha else NULL_HANDLE
+            ),
+            "two_sided": np.float32(1.0 if self.two_sided else 0.0),
+        }
+
+    def compile(self, compiler) -> dict:
+        raise NotImplementedError
+
+    @property
+    def is_null(self) -> bool:
+        return False
+
+    # --- device closure API (override in subclasses) ---
+    @staticmethod
+    def evaluate(params, ctx, it, swl, wo, wi):
+        raise NotImplementedError
+
+    @staticmethod
+    def sample(params, ctx, it, swl, wo, u_lobe, u):
+        raise NotImplementedError
+
+    @staticmethod
+    def albedo(params, ctx, it, swl):
+        return jnp.zeros(it.p.shape[:-1] + (swl.dimension,), jnp.float32)
+
+    @staticmethod
+    def roughness(params, ctx, it):
+        return jnp.ones(it.p.shape[:-1] + (2,), jnp.float32)
+
+    @staticmethod
+    def is_dispersive(params, ctx):
+        return False
+
+
+def shading_frame(params, ctx, it):
+    """Shading frame with optional tangent-space normal mapping
+    (surface.h:217-280 NormalMapWrapper)."""
+    frame = it.shading_frame()
+    nm = params.get("normal_map")
+    if nm is not None and ctx.plan.any_normal_maps:
+        mapped = evaluate_handles(ctx, nm, it, default=(0.5, 0.5, 1.0, 0.0))[..., :3]
+        n_local = fr.normalize(mapped * 2.0 - 1.0)
+        has = (nm >= 0)[..., None]
+        n_world = fr.normalize(fr.to_world(frame, n_local))
+        n = jnp.where(has, n_world, frame["n"])
+        frame = fr.frame_from_z_and_hint(n, it.tangent)
+    return frame
+
+
+def validate_sides(it, frame, wo, wi, f, pdf):
+    """Zero out f/pdf when wo/wi disagree in side between geometric and
+    shading normals (base/surface.cpp:34-43 validate_surface_sides)."""
+    ns = frame["n"]
+    ng = it.ng
+    # reflection if wi on same geometric side as wo, transmission otherwise;
+    # require agreement between shading/geometric classification
+    refl_geo = fr.dot(wo, ng) * fr.dot(wi, ng) > 0.0
+    refl_sha = fr.dot(wo, ns) * fr.dot(wi, ns) > 0.0
+    ok = refl_geo == refl_sha
+    return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _gather_rows(params, index):
+    n = None
+    out = {}
+    for k, v in params.items():
+        n = v.shape[0]
+        out[k] = v[jnp.clip(index, 0, n - 1)]
+    return out
+
+
+def dispatch(ctx, it, method, *args, init):
+    """Evaluate `method` for every surface type present; select by tag.
+
+    init: pytree template (broadcast shapes) used when no type matches.
+    Returns a pytree like the per-type results.
+    """
+    inst = ctx.arrays["instances"]
+    tag = inst["surface_tag"][it.inst]
+    index = inst["surface_index"][it.inst]
+    result = init
+    for t, surf_cls in enumerate(ctx.plan.surface_types):
+        mask = it.valid & (tag == t)
+        rows = _gather_rows(params_arrays(ctx, t), index)
+        value = getattr(surf_cls, method)(rows, ctx, it, *args)
+        result = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim)), new, old
+            ),
+            value,
+            result,
+        )
+    return result
+
+
+def params_arrays(ctx, type_index):
+    return ctx.arrays["surfaces"][type_index]

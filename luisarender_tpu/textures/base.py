@@ -1,0 +1,70 @@
+"""Texture interface and the batched polymorphic texture evaluator.
+
+TPU-native equivalent of /root/reference/src/base/texture.h:52-66. A texture
+node compiles to an integer *handle* (type-tag in the high bits, row index in
+the low bits) plus rows in per-type parameter tables held by the scene
+compiler. Device-side evaluation (`evaluate_handles`) is scene-static
+polymorphism: for each texture type present in the scene, evaluate all rays
+and select by tag mask — the XLA analogue of the reference's bindless
+texture fetch + `Polymorphic` dispatch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.scene import SceneNode
+
+HANDLE_TYPE_SHIFT = 24
+HANDLE_INDEX_MASK = (1 << HANDLE_TYPE_SHIFT) - 1
+# Handle 0 is reserved as "no texture" (callers supply a default constant).
+NULL_HANDLE = np.int32(-1)
+
+
+def make_handle(type_id: int, index: int) -> int:
+    return (type_id << HANDLE_TYPE_SHIFT) | index
+
+
+class Texture(SceneNode):
+    """Host-side texture node. Subclasses implement compile()."""
+
+    # Semantic category hints (texture.h:52-59): textures are decoded by the
+    # *consumer* as albedo / unbounded / illuminant via the spectrum model.
+
+    def __init__(self, scene, desc):
+        super().__init__(scene, desc)
+        self.range_ = None  # optional (lo, hi) clamp
+
+    def compile(self, compiler) -> int:
+        """Register this texture with the compiler; returns a handle."""
+        raise NotImplementedError
+
+    def evaluate_static(self):
+        """Constant-folded host value (texture.h:66) or None."""
+        return None
+
+    @property
+    def channels(self) -> int:
+        return 4
+
+
+def evaluate_handles(ctx, handles, it, default=(0.0, 0.0, 0.0, 0.0)):
+    """Evaluate per-ray texture handles -> (..., 4) float32.
+
+    ctx: ShadingContext (scene/context.py); handles: (...,) int32; it:
+    Interaction. Dispatch = compute each texture type present, select by tag.
+    """
+    shape = handles.shape
+    result = jnp.broadcast_to(
+        jnp.asarray(default, jnp.float32), shape + (4,)
+    )
+    type_tag = handles >> HANDLE_TYPE_SHIFT
+    index = handles & HANDLE_INDEX_MASK
+    for type_id, tex_cls in enumerate(ctx.plan.texture_types):
+        mask = (handles >= 0) & (type_tag == type_id)
+        if not ctx.plan.texture_type_used[type_id]:
+            continue
+        value = tex_cls.evaluate_rows(ctx, index, it)
+        result = jnp.where(mask[..., None], value, result)
+    return result
