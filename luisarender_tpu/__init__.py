@@ -30,10 +30,22 @@ from .samplers import base as _samplers  # noqa: F401
 from .cameras import pinhole as _pinhole  # noqa: F401
 from .shapes import impls as _shapes  # noqa: F401
 from .textures import constant as _tex_constant  # noqa: F401
+from .textures import image as _tex_image  # noqa: F401
+from .textures import procedural as _tex_procedural  # noqa: F401
+from .texturemappings import impls as _texmap_impls  # noqa: F401
 from .surfaces import matte as _surf_matte  # noqa: F401
+from .surfaces import mirror as _surf_mirror  # noqa: F401
+from .surfaces import glass as _surf_glass  # noqa: F401
+from .surfaces import metal as _surf_metal  # noqa: F401
+from .surfaces import plastic as _surf_plastic  # noqa: F401
+from .surfaces import null as _surf_null  # noqa: F401
+from .surfaces import mix as _surf_mix  # noqa: F401
 from .lights import diffuse as _light_diffuse  # noqa: F401
 from .lightsamplers import uniform as _ls_uniform  # noqa: F401
+from .environments import spherical as _env_spherical  # noqa: F401
+from .environments import impls as _env_impls  # noqa: F401
 from .spectra import srgb as _spec_srgb  # noqa: F401
+from .spectra import hero as _spec_hero  # noqa: F401
 from .integrators import mega_path as _int_mega  # noqa: F401
 
 

@@ -112,6 +112,15 @@ def path_trace_batch(
         has_surface = arrays["instances"]["surface_tag"][it.inst] >= 0
         active = active & has_surface
 
+        # --- dispersion: collapse to the hero wavelength on dispersive hits
+        # (mega_path.cpp:117-119 swl.terminate_secondary) ---
+        if not spectrum.is_fixed and surf_base.any_dispersive(ctx):
+            disp = surf_base.dispersive_mask(ctx, it) & active
+            terminated = swl.terminate_secondary()
+            swl = swl._replace(
+                pdf=jnp.where(disp[..., None], terminated.pdf, swl.pdf)
+            )
+
         # --- uniform draws ---
         state, u_sel = sampler.generate_1d(state)
         state, u_light = sampler.generate_2d(state)

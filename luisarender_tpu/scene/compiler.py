@@ -106,6 +106,9 @@ class SceneCompiler:
         self._texture_types: list = []
         self._texture_rows: list = []  # list of list-of-row-dicts
         self._texture_cache: dict = {}  # id(node) -> handle
+        # image atlas (textures/image.py): list of np (H, W, 4) images
+        self._atlas_images: list = []
+        self._atlas_image_ids: dict = {}  # id(np array) -> image_id
         # surface tables
         self._surface_types: list = []
         self._surface_rows: list = []
@@ -127,6 +130,50 @@ class SceneCompiler:
         rows.append(row)
         return make_handle(type_id, len(rows) - 1)
 
+    def register_atlas_image(self, image: "np.ndarray") -> int:
+        key = id(image)
+        if key not in self._atlas_image_ids:
+            self._atlas_image_ids[key] = len(self._atlas_images)
+            self._atlas_images.append(image)
+        return self._atlas_image_ids[key]
+
+    def _pack_atlas(self):
+        """Shelf-pack all registered images into one (H, W, 4) array.
+
+        The TPU analogue of the reference's 500k-slot BindlessArray
+        (base/pipeline.h:60): one mega-texture + per-texture rects, fetched
+        by gather."""
+        if not self._atlas_images:
+            return (
+                np.zeros((1, 1, 4), np.float32),
+                np.zeros((1, 4), np.int32),
+            )
+        order = sorted(
+            range(len(self._atlas_images)),
+            key=lambda i: -self._atlas_images[i].shape[0],
+        )
+        atlas_w = max(
+            2048, max(img.shape[1] for img in self._atlas_images)
+        )
+        rects = [None] * len(self._atlas_images)
+        x = y = shelf_h = 0
+        for i in order:
+            img = self._atlas_images[i]
+            h, w = img.shape[:2]
+            if x + w > atlas_w:
+                y += shelf_h
+                x = 0
+                shelf_h = 0
+            rects[i] = (x, y, w, h)
+            x += w
+            shelf_h = max(shelf_h, h)
+        atlas_h = y + shelf_h
+        atlas = np.zeros((atlas_h, atlas_w, 4), np.float32)
+        for i, img in enumerate(self._atlas_images):
+            rx, ry, w, h = rects[i]
+            atlas[ry : ry + h, rx : rx + w] = img
+        return atlas, np.asarray(rects, np.int32)
+
     def compile_texture(self, node) -> int:
         if node is None:
             return -1
@@ -138,7 +185,8 @@ class SceneCompiler:
     def compile_surface(self, node):
         key = id(node)
         if key not in self._surface_cache:
-            cls = type(node)
+            # nodes may monomorphize to a generated device class (mix.py)
+            cls = getattr(node, "monomorphized", None) or type(node)
             if cls not in self._surface_types:
                 self._surface_types.append(cls)
                 self._surface_rows.append([])
@@ -393,6 +441,10 @@ class SceneCompiler:
         }
         if has_env and hasattr(env, "device_arrays"):
             arrays["environment"] = env.device_arrays()
+
+        atlas, atlas_rects = self._pack_atlas()
+        arrays["texture_atlas"] = jnp.asarray(atlas)
+        arrays["texture_atlas_rects"] = jnp.asarray(atlas_rects)
 
         any_nm = any(
             any(int(np.asarray(r.get("normal_map", -1))) >= 0 for r in rows)

@@ -112,6 +112,21 @@ def shading_frame(params, ctx, it):
     return frame
 
 
+def oriented_frame(params, ctx, it, wo):
+    """Shading frame, flipped toward wo when the surface is two-sided
+    (surface.h:282-330 TwoSidedWrapper as a data-driven feature)."""
+    frame = shading_frame(params, ctx, it)
+    two_sided = params.get("two_sided")
+    if two_sided is None:
+        return frame
+    flip = ((fr.dot(wo, frame["n"]) < 0.0) & (two_sided > 0.5))[..., None]
+    return {
+        "s": frame["s"],
+        "t": jnp.where(flip, -frame["t"], frame["t"]),
+        "n": jnp.where(flip, -frame["n"], frame["n"]),
+    }
+
+
 def validate_sides(it, frame, wo, wi, f, pdf):
     """Zero out f/pdf when wo/wi disagree in side between geometric and
     shading normals (base/surface.cpp:34-43 validate_surface_sides)."""
@@ -160,3 +175,26 @@ def dispatch(ctx, it, method, *args, init):
 
 def params_arrays(ctx, type_index):
     return ctx.arrays["surfaces"][type_index]
+
+
+def any_dispersive(ctx) -> bool:
+    """Static: does any surface type in the plan support dispersion?"""
+    return any(
+        hasattr(cls, "is_dispersive_rows") for cls in ctx.plan.surface_types
+    )
+
+
+def dispersive_mask(ctx, it):
+    """Per-ray: did this ray hit a dispersive surface (glass with nonzero
+    Cauchy B)? Drives swl.terminate_secondary (mega_path.cpp:117-119)."""
+    inst = ctx.arrays["instances"]
+    tag = inst["surface_tag"][it.inst]
+    index = inst["surface_index"][it.inst]
+    mask = jnp.zeros(it.inst.shape, bool)
+    for t, surf_cls in enumerate(ctx.plan.surface_types):
+        fn = getattr(surf_cls, "is_dispersive_rows", None)
+        if fn is None:
+            continue
+        rows = _gather_rows(params_arrays(ctx, t), index)
+        mask = jnp.where(it.valid & (tag == t), fn(rows, ctx), mask)
+    return mask

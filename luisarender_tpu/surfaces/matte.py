@@ -18,7 +18,7 @@ from .base import (
     EVENT_REFLECT,
     PROPERTY_REFLECTIVE,
     Surface,
-    shading_frame,
+    oriented_frame,
     validate_sides,
 )
 
@@ -85,11 +85,7 @@ class MatteSurface(Surface):
 
     @staticmethod
     def evaluate(params, ctx, it, swl, wo, wi):
-        frame = shading_frame(params, ctx, it)
-        two_sided = params["two_sided"] > 0.5
-        flip = (fr.dot(wo, frame["n"]) < 0.0) & two_sided
-        frame_n = jnp.where(flip[..., None], -frame["n"], frame["n"])
-        frame = {"s": frame["s"], "t": jnp.where(flip[..., None], -frame["t"], frame["t"]), "n": frame_n}
+        frame = oriented_frame(params, ctx, it, wo)
         wo_l = fr.to_local(frame, wo)
         wi_l = fr.to_local(frame, wi)
         f, pdf = MatteSurface._f_pdf(params, ctx, it, swl, wo_l, wi_l)
@@ -98,11 +94,7 @@ class MatteSurface(Surface):
 
     @staticmethod
     def sample(params, ctx, it, swl, wo, u_lobe, u):
-        frame = shading_frame(params, ctx, it)
-        two_sided = params["two_sided"] > 0.5
-        flip = (fr.dot(wo, frame["n"]) < 0.0) & two_sided
-        frame_n = jnp.where(flip[..., None], -frame["n"], frame["n"])
-        frame = {"s": frame["s"], "t": jnp.where(flip[..., None], -frame["t"], frame["t"]), "n": frame_n}
+        frame = oriented_frame(params, ctx, it, wo)
         wo_l = fr.to_local(frame, wo)
         wi_l = sampling.sample_cosine_hemisphere(u)
         wi_l = jnp.where((wo_l[..., 2:3] < 0.0), wi_l * jnp.asarray([1.0, 1.0, -1.0]), wi_l)

@@ -49,11 +49,18 @@ class Texture(SceneNode):
         return 4
 
 
-def evaluate_handles(ctx, handles, it, default=(0.0, 0.0, 0.0, 0.0)):
+# Maximum texture-nesting depth unrolled by the dispatcher. Combinator
+# textures (checkerboard/swizzle/scale) take a `depth` kwarg and recurse;
+# past this depth only leaf textures evaluate (children read as defaults).
+MAX_NEST = 3
+
+
+def evaluate_handles(ctx, handles, it, default=(0.0, 0.0, 0.0, 0.0), depth=0):
     """Evaluate per-ray texture handles -> (..., 4) float32.
 
-    ctx: ShadingContext (scene/context.py); handles: (...,) int32; it:
-    Interaction. Dispatch = compute each texture type present, select by tag.
+    ctx: ShadingContext (scene/compiler.py); handles: (...,) int32; it:
+    Interaction. Dispatch = compute each texture type present, select by tag
+    (scene-static polymorphism).
     """
     shape = handles.shape
     result = jnp.broadcast_to(
@@ -62,9 +69,15 @@ def evaluate_handles(ctx, handles, it, default=(0.0, 0.0, 0.0, 0.0)):
     type_tag = handles >> HANDLE_TYPE_SHIFT
     index = handles & HANDLE_INDEX_MASK
     for type_id, tex_cls in enumerate(ctx.plan.texture_types):
-        mask = (handles >= 0) & (type_tag == type_id)
         if not ctx.plan.texture_type_used[type_id]:
             continue
-        value = tex_cls.evaluate_rows(ctx, index, it)
+        nests = "depth" in tex_cls.evaluate_rows.__code__.co_varnames
+        if nests:
+            if depth >= MAX_NEST:
+                continue
+            value = tex_cls.evaluate_rows(ctx, index, it, depth=depth)
+        else:
+            value = tex_cls.evaluate_rows(ctx, index, it)
+        mask = (handles >= 0) & (type_tag == type_id)
         result = jnp.where(mask[..., None], value, result)
     return result

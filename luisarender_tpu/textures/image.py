@@ -1,0 +1,141 @@
+"""Image texture with atlas-packed storage.
+
+TPU-native equivalent of /root/reference/src/textures/image.cpp:49-197.
+There is no bindless texture hardware on TPU, so all image textures in a
+scene are shelf-packed into ONE atlas array (H, W, 4) held in HBM; per-row
+params carry the atlas rectangle + uv transform + wrap mode, and sampling is
+manual bilinear with border clamping inside the rectangle (the gather-based
+analogue of `bindless_tex2d.sample`). LDR files are sRGB-decoded to linear at
+load (the reference decodes after filtering and calls it an approximation,
+image.cpp:139-145; decoding before filtering is the more correct variant).
+Mipmaps are intentionally not built (stubbed in the reference too,
+image.cpp:187-197 — "don't over-build this").
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.node import SceneNodeTag
+from ..scene.registry import register
+from ..utils import imageio
+from .base import Texture
+
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+WRAP_MIRROR = 2
+_WRAP_MODES = {"repeat": WRAP_REPEAT, "clamp": WRAP_CLAMP, "mirror": WRAP_MIRROR}
+
+_IMAGE_CACHE: dict = {}
+
+
+@register(SceneNodeTag.TEXTURE, "image", "Image")
+class ImageTexture(Texture):
+    def __init__(self, scene, desc):
+        super().__init__(scene, desc)
+        path = desc.string("file", None)
+        if path is None:
+            raise ValueError("image texture requires 'file'")
+        encoding = desc.string("encoding", None)
+        if path not in _IMAGE_CACHE:
+            img = imageio.load_image(path)  # linear float32 (H, W, C)
+            if img.ndim == 2:
+                img = img[..., None]
+            if img.shape[-1] < 4:
+                pad = np.zeros(img.shape[:2] + (4 - img.shape[-1],), np.float32)
+                if img.shape[-1] == 1:
+                    img = np.concatenate([img, img, img, pad[..., :1] * 0 + 1], -1)
+                else:
+                    img = np.concatenate([img, pad], -1)
+            img = img[..., :4]
+            _IMAGE_CACHE[path] = np.ascontiguousarray(img, np.float32)
+        self.image = _IMAGE_CACHE[path]
+        if encoding == "gamma":
+            gamma = desc.float("gamma", 2.2)
+            self.image = np.concatenate(
+                [np.power(np.maximum(self.image[..., :3], 0.0), gamma),
+                 self.image[..., 3:]], -1)
+        self.uv_scale = desc.float2("uv_scale", (1.0, 1.0))
+        self.uv_offset = desc.float2("uv_offset", (0.0, 0.0))
+        self.wrap = _WRAP_MODES.get(desc.string("wrap", "repeat").lower(), WRAP_REPEAT)
+        self.mapping = scene.load_texture_mapping(desc.node("mapping"))
+        self.scale = desc.float3("scale", (1.0, 1.0, 1.0))
+
+    @property
+    def channels(self):
+        return 4
+
+    def rasterize(self):
+        """Used by spherical environments (environments/spherical.py)."""
+        return self.image[..., :3] * np.asarray(self.scale, np.float32)
+
+    def compile(self, compiler) -> int:
+        image_id = compiler.register_atlas_image(self.image)
+        from ..texturemappings.impls import TextureMapping
+
+        m_params = (
+            self.mapping.params()
+            if self.mapping is not None
+            else np.asarray([1, 1, 0, 0], np.float32)
+        )
+        m_type = self.mapping.type_id if self.mapping is not None else 0
+        return compiler.register_texture_row(
+            ImageTexture,
+            {
+                "image_id": np.int32(image_id),
+                "uv_scale": np.asarray(self.uv_scale, np.float32),
+                "uv_offset": np.asarray(self.uv_offset, np.float32),
+                "wrap": np.int32(self.wrap),
+                "scale": np.asarray(list(self.scale) + [1.0], np.float32),
+                "mapping_type": np.int32(m_type),
+                "mapping_params": m_params,
+            },
+        )
+
+    @staticmethod
+    def evaluate_rows(ctx, index, it):
+        rows = ctx.arrays["textures"]["image"]
+        rects = ctx.arrays["texture_atlas_rects"]  # (n_images, 4) x,y,w,h
+        atlas = ctx.arrays["texture_atlas"]  # (H, W, 4)
+        r = {k: v[index] for k, v in rows.items()}
+        from ..texturemappings.impls import apply_mapping
+
+        uv = apply_mapping(r["mapping_type"], r["mapping_params"], it)
+        uv = uv * r["uv_scale"] + r["uv_offset"]
+        rect = rects[r["image_id"]]
+        w = rect[..., 2].astype(jnp.float32)
+        h = rect[..., 3].astype(jnp.float32)
+        u, v = uv[..., 0], uv[..., 1]
+
+        def wrap_coord(x, mode):
+            rep = x % 1.0
+            clp = jnp.clip(x, 0.0, 1.0)
+            mir = 1.0 - jnp.abs((x % 2.0) - 1.0)
+            return jnp.where(mode == WRAP_REPEAT, rep,
+                             jnp.where(mode == WRAP_CLAMP, clp, mir))
+
+        u = wrap_coord(u, r["wrap"])
+        v = wrap_coord(v, r["wrap"])
+        # bilinear inside the atlas rect with edge clamping (no bleed)
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+
+        def fetch(xi, yi):
+            xi = jnp.clip(xi, 0, rect[..., 2] - 1) + rect[..., 0]
+            yi = jnp.clip(yi, 0, rect[..., 3] - 1) + rect[..., 1]
+            return atlas[yi, xi]
+
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        val = (
+            fetch(x0i, y0i) * (1 - fx) * (1 - fy)
+            + fetch(x0i + 1, y0i) * fx * (1 - fy)
+            + fetch(x0i, y0i + 1) * (1 - fx) * fy
+            + fetch(x0i + 1, y0i + 1) * fx * fy
+        )
+        return val * r["scale"]
