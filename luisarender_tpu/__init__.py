@@ -47,6 +47,11 @@ from .environments import impls as _env_impls  # noqa: F401
 from .spectra import srgb as _spec_srgb  # noqa: F401
 from .spectra import hero as _spec_hero  # noqa: F401
 from .integrators import mega_path as _int_mega  # noqa: F401
+from .integrators import wave_path as _int_wave  # noqa: F401
+from .integrators import mega_vpt as _int_vpt  # noqa: F401
+from .integrators import aux as _int_aux  # noqa: F401
+from .media import base as _media_base  # noqa: F401
+from .phasefunctions import hg as _phase_hg  # noqa: F401
 
 
 def load_scene(path, macros=None) -> Scene:

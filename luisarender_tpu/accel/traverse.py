@@ -39,6 +39,8 @@ class TraceGeometry(NamedTuple):
     tri_e1: jnp.ndarray  # (P, 3) v1 - v0
     tri_e2: jnp.ndarray  # (P, 3) v2 - v0
     prim_index: jnp.ndarray  # (P,) int32 original triangle id (-1 padding)
+    tri_opaque: jnp.ndarray  # (P,) bool: blocks shadow rays (null-surface
+    # medium boundaries don't — geometry.cpp alpha/visibility analogue)
     aabb_min: jnp.ndarray  # (N, 3)
     aabb_max: jnp.ndarray  # (N, 3)
     skip: jnp.ndarray  # (N,) int32
@@ -183,18 +185,21 @@ def trace_any_brute(geom: TraceGeometry, rays, chunk: int = 512):
     e2 = jnp.pad(geom.tri_e2, ((0, pad), (0, 0)))
     pid = jnp.pad(geom.prim_index, (0, pad), constant_values=-1)
 
+    opq = jnp.pad(geom.tri_opaque, (0, pad), constant_values=False)
+
     def chunk_any(c):
         s = c * chunk
         cv0 = jax.lax.dynamic_slice_in_dim(v0, s, chunk)
         ce1 = jax.lax.dynamic_slice_in_dim(e1, s, chunk)
         ce2 = jax.lax.dynamic_slice_in_dim(e2, s, chunk)
         cpid = jax.lax.dynamic_slice_in_dim(pid, s, chunk)
+        copq = jax.lax.dynamic_slice_in_dim(opq, s, chunk)
         valid, t, _, _ = intersect_tri(
             o[..., None, :], d[..., None, :], cv0, ce1, ce2
         )
         valid &= (t > rays.t_min[..., None]) & (t < rays.t_max[..., None]) & (
             cpid >= 0
-        )
+        ) & copq
         return jnp.any(valid, axis=-1)
 
     if n_chunks == 1:
@@ -205,8 +210,10 @@ def trace_any_brute(geom: TraceGeometry, rays, chunk: int = 512):
     )
 
 
-def trace_closest_bvh(geom: TraceGeometry, rays) -> Hit:
-    """Stackless skip-link traversal; one while_loop over batched rays."""
+def trace_closest_bvh(geom: TraceGeometry, rays, opaque_only: bool = False) -> Hit:
+    """Stackless skip-link traversal; one while_loop over batched rays.
+
+    opaque_only: skip shadow-transparent triangles (shadow-ray variant)."""
     o, d = rays.origin, rays.direction
     inv_d = _safe_inv(d)
     shape = o.shape[:-1]
@@ -237,6 +244,8 @@ def trace_closest_bvh(geom: TraceGeometry, rays) -> Hit:
             )
             pid = geom.prim_index[pidx]
             valid &= do_leaf & (pid >= 0) & (t > rays.t_min) & (t < best_t)
+            if opaque_only:
+                valid &= geom.tri_opaque[pidx]
             best_t = jnp.where(valid, t, best_t)
             best_prim = jnp.where(valid, pid, best_prim)
             best_u = jnp.where(valid, u, best_u)
@@ -278,5 +287,5 @@ def trace_any(geom: TraceGeometry, rays):
     """Shadow-ray occlusion test; returns bool occluded per ray."""
     if geom.num_tris <= BRUTE_FORCE_MAX_TRIS:
         return trace_any_brute(geom, rays)
-    hit = trace_closest_bvh(geom, rays)
+    hit = trace_closest_bvh(geom, rays, opaque_only=True)
     return ~hit.miss

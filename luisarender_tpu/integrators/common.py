@@ -1,0 +1,263 @@
+"""Shared path-tracing bounce step used by the megakernel and wavefront
+integrators.
+
+This is the body of mega_path.cpp:49-156's per-depth loop, restructured as a
+pure function over a batched SoA path-state carry (per-path depth, so the
+wavefront integrator can advance states of mixed depths in one call).
+Conventions follow integrators/mega_path.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..accel import traverse
+from ..core import sampling
+from ..core import types as ct
+from ..core.spectrum import safe_div
+from ..scene.geometry import surface_interaction
+from ..surfaces import base as surf_base
+
+
+def init_carry(ray, beta, state, swl, pixel_index=None):
+    """Fresh path state for a batch of camera rays."""
+    n = ray.origin.shape[0]
+    c = beta.shape[-1]
+    zero_f = jnp.zeros_like(ray.origin[..., 0])
+    carry = {
+        "ray": ray,
+        "beta": beta,
+        "L": jnp.broadcast_to(zero_f[..., None], (n, c)),
+        "active": zero_f < 1.0,
+        "state": state,
+        "pdf_bsdf": zero_f + 1e16,
+        "eta_scale": zero_f + 1.0,
+        "depth": zero_f.astype(jnp.int32),
+        "swl": swl,
+        "n_rays": jnp.sum(zero_f).astype(jnp.int32),
+    }
+    if pixel_index is not None:
+        carry["pixel_index"] = pixel_index
+    return carry
+
+
+def shade_surface(
+    compiled,
+    arrays,
+    light_sampler,
+    it,
+    wo,
+    swl,
+    L,
+    ray,
+    beta,
+    pdf_bsdf,
+    eta_scale,
+    active,
+    n_rays,
+    uniforms,
+    time=0.0,
+):
+    """NEE + BSDF sampling at surface hits (mega_path.cpp:100-144), shared by
+    the surface and volumetric integrators. uniforms = (u_sel, u_light (2),
+    u_lobe, u_bsdf (2)). Returns updated (L, ray, beta, pdf_bsdf, eta_scale,
+    active, n_rays, event)."""
+    ctx = compiled.context(arrays)
+    geom = compiled.trace_geometry(arrays)
+    plan = compiled.plan
+    n = it.p.shape[0]
+    c = plan.spectral_dim
+    u_sel, u_light, u_lobe, u_bsdf = uniforms
+
+    # --- NEE (mega_path.cpp:100-110) ---
+    if plan.num_lights > 0 or plan.has_environment:
+        ls = light_sampler.sample(ctx, it, u_sel, u_light, swl, time)
+        shadow_ray = ct.spawn_ray_to(it, ls["p"], ls["ng"])
+        shadow_ray = shadow_ray._replace(
+            t_max=jnp.where(active & (ls["pdf"] > 0), shadow_ray.t_max, 0.0)
+        )
+        n_rays = n_rays + jnp.sum((active & (ls["pdf"] > 0)).astype(jnp.int32))
+        occluded = traverse.trace_any(geom, shadow_ray)
+        f_eval = surf_base.dispatch(
+            ctx,
+            it,
+            "evaluate",
+            swl,
+            wo,
+            ls["wi"],
+            init={
+                "f": jnp.zeros((n, c), jnp.float32),
+                "pdf": jnp.zeros((n,), jnp.float32),
+            },
+        )
+        w_mis = safe_div(
+            sampling.balance_heuristic(ls["pdf"], f_eval["pdf"]), ls["pdf"]
+        )
+        nee_ok = active & (ls["pdf"] > 0) & ~occluded
+        contrib = beta * f_eval["f"] * ls["L"] * w_mis[..., None]
+        L = jnp.where(nee_ok[..., None], L + contrib, L)
+
+    # --- BSDF sampling (mega_path.cpp:131-144) ---
+    s = surf_base.dispatch(
+        ctx,
+        it,
+        "sample",
+        swl,
+        wo,
+        u_lobe,
+        u_bsdf,
+        init={
+            "f": jnp.zeros((n, c), jnp.float32),
+            "pdf": jnp.zeros((n,), jnp.float32),
+            "wi": jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3)
+            ),
+            "event": jnp.zeros((n,), jnp.int32),
+            "eta": jnp.ones((n,), jnp.float32),
+        },
+    )
+    new_ray = ct.spawn_ray(it, s["wi"])
+    ray = ct.Ray(
+        origin=jnp.where(active[..., None], new_ray.origin, ray.origin),
+        direction=jnp.where(active[..., None], new_ray.direction, ray.direction),
+        t_min=jnp.where(active, new_ray.t_min, ray.t_min),
+        t_max=jnp.where(active, new_ray.t_max, ray.t_max),
+    )
+    pdf_bsdf = jnp.where(active, s["pdf"], pdf_bsdf)
+    beta_new = beta * safe_div(s["f"], s["pdf"][..., None])
+    beta_new = jnp.where(jnp.isfinite(beta_new), beta_new, 0.0)
+    beta = jnp.where(active[..., None], beta_new, beta)
+    eta = s["eta"]
+    eta_scale_new = jnp.where(
+        s["event"] == surf_base.EVENT_ENTER,
+        eta_scale * eta * eta,
+        jnp.where(
+            s["event"] == surf_base.EVENT_EXIT,
+            eta_scale / jnp.maximum(eta * eta, 1e-12),
+            eta_scale,
+        ),
+    )
+    eta_scale = jnp.where(active, eta_scale_new, eta_scale)
+    active = active & (s["pdf"] > 0) & jnp.any(beta > 0, axis=-1)
+    return L, ray, beta, pdf_bsdf, eta_scale, active, n_rays, s["event"]
+
+
+def bounce_step(
+    compiled,
+    arrays,
+    sampler,
+    light_sampler,
+    carry,
+    *,
+    max_depth,
+    rr_depth,
+    rr_threshold,
+    time=0.0,
+):
+    """Advance every active path by one bounce. Returns the updated carry.
+
+    Paths that terminate this bounce have active=False afterwards; their L
+    holds the final radiance estimate.
+    """
+    ctx = compiled.context(arrays)
+    geom = compiled.trace_geometry(arrays)
+    plan = compiled.plan
+    spectrum = compiled.spectrum
+    n = carry["ray"].origin.shape[0]
+    c = plan.spectral_dim
+
+    ray = carry["ray"]
+    beta = carry["beta"]
+    L = carry["L"]
+    active = carry["active"]
+    state = carry["state"]
+    pdf_bsdf = carry["pdf_bsdf"]
+    eta_scale = carry["eta_scale"]
+    depth = carry["depth"]
+    swl = carry["swl"]
+
+    n_rays = carry["n_rays"] + jnp.sum(active.astype(jnp.int32))
+    wo = -ray.direction
+    hit = traverse.trace_closest(geom, ray)
+    it = surface_interaction(arrays, hit, ray)
+    it = it._replace(valid=it.valid & active)
+
+    # --- miss: environment (mega_path.cpp:68-76) ---
+    if plan.has_environment:
+        env_eval = light_sampler.evaluate_miss(ctx, ray.direction, swl, time)
+        mis_w = sampling.balance_heuristic(pdf_bsdf, env_eval["pdf"])
+        contrib = beta * env_eval["L"] * mis_w[..., None]
+        L = jnp.where((active & ~it.valid)[..., None], L + contrib, L)
+    active = active & it.valid
+
+    # --- hit an emissive instance (mega_path.cpp:79-87) ---
+    if plan.num_lights > 0:
+        has_light = arrays["instances"]["light_tag"][it.inst] >= 0
+        le = light_sampler.evaluate_hit(ctx, it, ray.origin, swl, time)
+        mis_w = sampling.balance_heuristic(pdf_bsdf, le["pdf"])
+        contrib = beta * le["L"] * mis_w[..., None]
+        L = jnp.where((active & has_light)[..., None], L + contrib, L)
+
+    # --- no surface -> path ends (mega_path.cpp:89) ---
+    has_surface = arrays["instances"]["surface_tag"][it.inst] >= 0
+    active = active & has_surface
+
+    # --- dispersion (mega_path.cpp:117-119) ---
+    if not spectrum.is_fixed and surf_base.any_dispersive(ctx):
+        disp = surf_base.dispersive_mask(ctx, it) & active
+        terminated = swl.terminate_secondary()
+        swl = swl._replace(
+            pdf=jnp.where(disp[..., None], terminated.pdf, swl.pdf)
+        )
+
+    # --- uniform draws ---
+    state, u_sel = sampler.generate_1d(state)
+    state, u_light = sampler.generate_2d(state)
+    state, u_lobe = sampler.generate_1d(state)
+    state, u_bsdf = sampler.generate_2d(state)
+    state, u_rr = sampler.generate_1d(state)
+
+    L, ray, beta, pdf_bsdf, eta_scale, active, n_rays, event = shade_surface(
+        compiled,
+        arrays,
+        light_sampler,
+        it,
+        wo,
+        swl,
+        L,
+        ray,
+        beta,
+        pdf_bsdf,
+        eta_scale,
+        active,
+        n_rays,
+        (u_sel, u_light, u_lobe, u_bsdf),
+        time=time,
+    )
+
+    # --- Russian roulette (mega_path.cpp:146-153) ---
+    q = jnp.maximum(jnp.max(beta, axis=-1) * eta_scale, 0.05)
+    do_rr = (depth + 1 >= rr_depth) & active
+    kill = do_rr & (q < rr_threshold) & (u_rr >= q)
+    boost = jnp.where(do_rr & (q < rr_threshold), 1.0 / jnp.maximum(q, 1e-6), 1.0)
+    beta = beta * boost[..., None]
+    active = active & ~kill
+
+    depth = depth + 1
+    active = active & (depth < max_depth)
+
+    out = {
+        "ray": ray,
+        "beta": beta,
+        "L": L,
+        "active": active,
+        "state": state,
+        "pdf_bsdf": pdf_bsdf,
+        "eta_scale": eta_scale,
+        "depth": depth,
+        "swl": swl,
+        "n_rays": n_rays,
+    }
+    if "pixel_index" in carry:
+        out["pixel_index"] = carry["pixel_index"]
+    return out

@@ -1,0 +1,375 @@
+"""Volumetric megakernel path tracer (homogeneous media, analytic
+transmittance).
+
+TPU-native equivalent of /root/reference/src/integrators/mega_vpt_naive.cpp
+(496 LoC — the closed-form-transmittance variant; the null-scattering
+delta-tracking mega_vpt.cpp generalization lands with heterogeneous media):
+
+- a fixed-capacity priority MediumTracker per ray (core/medium_tracker.py,
+  mega_vpt.cpp:99-151 tracker init from camera crossings is replaced by
+  starting in the environment medium — camera-inside-object setups need the
+  env medium set, a documented simplification);
+- per-bounce: sample a scattering distance in the current medium
+  (channel-stochastic exponential, media/homogeneous.cpp:44-85); scatter
+  events do HG phase sampling + NEE with closed-form transmittance along the
+  shadow ray through the current medium (naive: boundary changes along the
+  shadow segment are ignored — exactly mega_vpt_naive's approximation);
+- null surfaces (and transmissive surface events) update the tracker by
+  priority and the geometric crossing side (mega_vpt.cpp:118-151);
+- null-surface crossings do not consume path depth; the loop is bounded by
+  max_depth + a fixed crossing budget.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..accel import traverse
+from ..core import frame as fr
+from ..core import medium_tracker as mt
+from ..core import sampling
+from ..core import types as ct
+from ..core.spectrum import safe_div
+from ..media import base as med_base
+from ..phasefunctions.hg import hg_p, hg_sample
+from ..scene.geometry import surface_interaction
+from ..scene.node import SceneNodeTag
+from ..scene.registry import register
+from ..surfaces import base as surf_base
+from . import common
+from .base import ProgressiveIntegrator
+
+MAX_NULL_CROSSINGS = 32
+
+
+@register(SceneNodeTag.INTEGRATOR, "megavpt", "MegaVPT", "megavptnaive", "MegaVPTNaive")
+class MegakernelVolumePathTracing(ProgressiveIntegrator):
+    def __init__(self, scene, desc):
+        super().__init__(scene, desc)
+        self.max_depth = desc.int("depth", 10)
+        self.rr_depth = desc.int("rr_depth", 0)
+        self.rr_threshold = desc.float("rr_threshold", 0.95)
+
+    def _trace_batch(self, compiled, arrays, camera, pixel_xy, sample_index):
+        sampler = self.sampler
+        light_sampler = self.light_sampler
+        ctx = compiled.context(arrays)
+        geom = compiled.trace_geometry(arrays)
+        plan = compiled.plan
+        spectrum = compiled.spectrum
+        n = pixel_xy.shape[0]
+        c = plan.spectral_dim
+
+        state = sampler.start(pixel_xy, sample_index)
+        state, u_filter = sampler.generate_pixel_2d(state)
+        u_lens = jnp.full((n, 2), 0.5, jnp.float32)
+        if camera.requires_lens_sampling:
+            state, u_lens = sampler.generate_2d(state)
+        ray, _, cam_weight = camera.generate_rays(pixel_xy, u_filter, u_lens, 0.0)
+        if spectrum.is_fixed:
+            swl = spectrum.sample_wavelengths(jnp.zeros((n, 1), jnp.float32))
+        else:
+            state, u_swl = sampler.generate_1d(state)
+            swl = spectrum.sample_wavelengths(u_swl[..., None])
+
+        tracker = mt.make_tracker((n,))
+        if plan.env_medium_ref is not None:
+            tag, idx, prio = plan.env_medium_ref
+            tracker = mt.enter(
+                tracker,
+                jnp.ones((n,), bool),
+                jnp.full((n,), (tag << 16) | idx, jnp.int32),
+                jnp.full((n,), prio, jnp.float32),
+            )
+
+        carry = common.init_carry(
+            ray, jnp.broadcast_to(cam_weight[..., None], (n, c)), state, swl
+        )
+        carry["tracker"] = tracker
+        carry["crossings"] = jnp.zeros((n,), jnp.int32)
+
+        def loop_cond(carry):
+            return jnp.any(carry["active"])
+
+        def loop_body(carry):
+            ray = carry["ray"]
+            beta = carry["beta"]
+            L = carry["L"]
+            active = carry["active"]
+            state = carry["state"]
+            pdf_bsdf = carry["pdf_bsdf"]
+            eta_scale = carry["eta_scale"]
+            depth = carry["depth"]
+            swl = carry["swl"]
+            tracker = carry["tracker"]
+            crossings = carry["crossings"]
+            n_rays = carry["n_rays"] + jnp.sum(active.astype(jnp.int32))
+
+            wo = -ray.direction
+            hit = traverse.trace_closest(geom, ray)
+            it = surface_interaction(arrays, hit, ray)
+            it = it._replace(valid=it.valid & active)
+            t_hit = jnp.where(jnp.isfinite(hit.t), hit.t, 1e8)
+
+            # --- medium distance sampling along [0, t_hit] ---
+            in_medium_has, cur_ref = mt.current(tracker)
+            cur_tag, cur_idx = mt.unpack_ref(cur_ref)
+            state, u_ch = sampler.generate_1d(state)
+            state, u_dist = sampler.generate_1d(state)
+            if plan.has_media:
+                ms = med_base.dispatch(
+                    ctx,
+                    jnp.where(in_medium_has, cur_tag, -1),
+                    cur_idx,
+                    "sample_distance",
+                    swl,
+                    t_hit,
+                    u_ch,
+                    u_dist,
+                    init={
+                        "t": t_hit,
+                        "scattered": jnp.zeros((n,), bool),
+                        "weight": jnp.ones((n, c), jnp.float32),
+                        "g": jnp.zeros((n,), jnp.float32),
+                    },
+                )
+                scattered = ms["scattered"] & active & in_medium_has
+                beta = jnp.where(
+                    (active & in_medium_has)[..., None], beta * ms["weight"], beta
+                )
+            else:
+                scattered = jnp.zeros((n,), bool)
+                ms = {"t": t_hit, "g": jnp.zeros((n,), jnp.float32)}
+
+            # ======= volumetric scatter branch (mega_vpt.cpp sampleT path) ==
+            state, u_sel = sampler.generate_1d(state)
+            state, u_light = sampler.generate_2d(state)
+            state, u_phase = sampler.generate_2d(state)
+            state, u_lobe = sampler.generate_1d(state)
+            state, u_bsdf = sampler.generate_2d(state)
+            state, u_rr = sampler.generate_1d(state)
+
+            p_scatter = ray.at(ms["t"])
+            if plan.has_media and (plan.num_lights > 0 or plan.has_environment):
+                it_med = ct.Interaction(
+                    valid=scattered,
+                    inst=jnp.zeros((n,), jnp.int32),
+                    prim=jnp.zeros((n,), jnp.int32),
+                    p=p_scatter,
+                    ng=wo,
+                    ns=wo,
+                    tangent=fr.make_frame(wo)["s"],
+                    uv=jnp.zeros((n, 2), jnp.float32),
+                    prim_area=jnp.ones((n,), jnp.float32),
+                    back_facing=jnp.zeros((n,), bool),
+                )
+                ls = light_sampler.sample(ctx, it_med, u_sel, u_light, swl, 0.0)
+                d_light = fr.length(ls["p"] - p_scatter)
+                shadow_ray = ct.make_ray(
+                    p_scatter, ls["wi"], t_min=1e-3, t_max=d_light * (1 - 1e-3)
+                )
+                shadow_ray = shadow_ray._replace(
+                    t_max=jnp.where(
+                        scattered & (ls["pdf"] > 0), shadow_ray.t_max, 0.0
+                    )
+                )
+                occluded = traverse.trace_any(geom, shadow_ray)
+                # transmittance through the current medium (naive closed-form)
+                tr = med_base.dispatch(
+                    ctx,
+                    jnp.where(in_medium_has, cur_tag, -1),
+                    cur_idx,
+                    "transmittance",
+                    swl,
+                    d_light,
+                    init=jnp.ones((n, c), jnp.float32),
+                )
+                cos_t = fr.dot(wo, ls["wi"])
+                phase_val = hg_p(cos_t, ms["g"])
+                w_mis = safe_div(
+                    sampling.balance_heuristic(ls["pdf"], phase_val), ls["pdf"]
+                )
+                contrib = beta * tr * ls["L"] * (phase_val * w_mis)[..., None]
+                nee_ok = scattered & (ls["pdf"] > 0) & ~occluded
+                L = jnp.where(nee_ok[..., None], L + contrib, L)
+
+            # phase sampling (perfectly importance sampled: beta unchanged)
+            wi_phase, phase_pdf = hg_sample(wo, u_phase, ms["g"])
+            scatter_ray = ct.make_ray(p_scatter, wi_phase, t_min=1e-3)
+
+            # ======= surface branch ========================================
+            surf_active = active & ~scattered & it.valid
+            # null surface: cross the boundary, update the tracker
+            is_null = (
+                arrays["instances"]["surface_tag"][it.inst] < 0
+            ) & surf_active
+            inst_m_tag = arrays["instances"]["medium_tag"][it.inst]
+            inst_m_idx = arrays["instances"]["medium_index"][it.inst]
+            inst_m_prio = arrays["instances"]["medium_priority"][it.inst]
+            has_inst_medium = inst_m_tag >= 0
+            entering = fr.dot(ray.direction, it.ng) < 0.0
+            m_ref = mt.pack_ref(inst_m_tag, inst_m_idx)
+            do_enter = is_null & has_inst_medium & entering
+            do_exit = is_null & has_inst_medium & ~entering
+            tracker = mt.enter(tracker, do_enter, m_ref, inst_m_prio)
+            tracker = mt.exit_(tracker, do_exit, m_ref)
+            null_ray = ct.spawn_ray(it, ray.direction)
+            crossings = crossings + is_null.astype(jnp.int32)
+
+            # real surface: standard shading
+            shade_active = surf_active & ~is_null
+            it_shade = it._replace(valid=shade_active)
+
+            # emissive hits + env misses (as in common.bounce_step)
+            if plan.has_environment:
+                env_eval = light_sampler.evaluate_miss(ctx, ray.direction, swl, 0.0)
+                mis_w = sampling.balance_heuristic(pdf_bsdf, env_eval["pdf"])
+                contrib = beta * env_eval["L"] * mis_w[..., None]
+                miss_now = active & ~scattered & ~it.valid
+                L = jnp.where(miss_now[..., None], L + contrib, L)
+            if plan.num_lights > 0:
+                has_light = arrays["instances"]["light_tag"][it.inst] >= 0
+                le = light_sampler.evaluate_hit(ctx, it, ray.origin, swl, 0.0)
+                mis_w = sampling.balance_heuristic(pdf_bsdf, le["pdf"])
+                contrib = beta * le["L"] * mis_w[..., None]
+                L = jnp.where(
+                    (shade_active & has_light)[..., None], L + contrib, L
+                )
+
+            (
+                L,
+                sray,
+                beta_s,
+                pdf_s,
+                eta_scale_s,
+                shade_ok,
+                n_rays,
+                event,
+            ) = common.shade_surface(
+                compiled,
+                arrays,
+                light_sampler,
+                it_shade,
+                wo,
+                swl,
+                L,
+                ray,
+                beta,
+                pdf_bsdf,
+                eta_scale,
+                shade_active,
+                n_rays,
+                (u_sel, u_light, u_lobe, u_bsdf),
+            )
+            # transmissive events cross the surface's medium boundary too
+            crossed_in = shade_active & (event == surf_base.EVENT_ENTER)
+            crossed_out = shade_active & (event == surf_base.EVENT_EXIT)
+            tracker = mt.enter(
+                tracker, crossed_in & has_inst_medium, m_ref, inst_m_prio
+            )
+            tracker = mt.exit_(tracker, crossed_out & has_inst_medium, m_ref)
+
+            # ======= merge the three continuations ========================
+            def merge(scatter_v, null_v, shade_v, old_v):
+                ndim = scatter_v.ndim
+                sc = scattered.reshape(scattered.shape + (1,) * (ndim - 1))
+                nu = is_null.reshape(is_null.shape + (1,) * (ndim - 1))
+                sh = shade_active.reshape(
+                    shade_active.shape + (1,) * (ndim - 1)
+                )
+                return jnp.where(
+                    sc, scatter_v, jnp.where(nu, null_v, jnp.where(sh, shade_v, old_v))
+                )
+
+            ray = ct.Ray(
+                origin=merge(
+                    scatter_ray.origin, null_ray.origin, sray.origin, ray.origin
+                ),
+                direction=merge(
+                    scatter_ray.direction,
+                    null_ray.direction,
+                    sray.direction,
+                    ray.direction,
+                ),
+                t_min=merge(scatter_ray.t_min, null_ray.t_min, sray.t_min, ray.t_min),
+                t_max=merge(scatter_ray.t_max, null_ray.t_max, sray.t_max, ray.t_max),
+            )
+            beta = merge(beta, beta, beta_s, beta)
+            pdf_bsdf = merge(phase_pdf, pdf_bsdf, pdf_s, pdf_bsdf)
+            eta_scale = merge(eta_scale, eta_scale, eta_scale_s, eta_scale)
+
+            # survival: scattered & null continue; shaded need shade_ok
+            active = (
+                scattered
+                | (is_null & (crossings < MAX_NULL_CROSSINGS))
+                | (shade_active & shade_ok)
+            )
+            active = active & jnp.any(beta > 0, axis=-1)
+
+            # depth: scatter + real-surface events consume depth; null doesn't
+            consumed = scattered | shade_active
+            depth = depth + consumed.astype(jnp.int32)
+
+            # Russian roulette on consuming events
+            q = jnp.maximum(jnp.max(beta, axis=-1) * eta_scale, 0.05)
+            do_rr = (depth >= self.rr_depth) & active & consumed
+            kill = do_rr & (q < self.rr_threshold) & (u_rr >= q)
+            boost = jnp.where(
+                do_rr & (q < self.rr_threshold), 1.0 / jnp.maximum(q, 1e-6), 1.0
+            )
+            beta = beta * boost[..., None]
+            active = active & ~kill & (depth < self.max_depth)
+
+            return {
+                "ray": ray,
+                "beta": beta,
+                "L": L,
+                "active": active,
+                "state": state,
+                "pdf_bsdf": pdf_bsdf,
+                "eta_scale": eta_scale,
+                "depth": depth,
+                "swl": swl,
+                "n_rays": n_rays,
+                "tracker": tracker,
+                "crossings": crossings,
+            }
+
+        final = jax.lax.while_loop(loop_cond, loop_body, carry)
+        rgb = spectrum.srgb(final["L"], final["swl"])
+        return rgb, jnp.ones((n,), jnp.float32)
+
+    def _render_one_camera(self, compiled, camera):
+        w, h = camera.film.resolution
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.int32),
+            jnp.arange(w, dtype=jnp.int32),
+            indexing="ij",
+        )
+        pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+        spp = camera.spp
+        spd = max(min(self.samples_per_pass, spp), 1)
+        film = camera.film
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
+        def render_pass(arrays, accum, sample_index0, n_samples):
+            def one_sample(i, acc):
+                rgb, weight = self._trace_batch(
+                    compiled, arrays, camera, pixel_xy, sample_index0 + i
+                )
+                return film.accumulate_image(
+                    acc, rgb.reshape(h, w, 3), weight.reshape(h, w)
+                )
+
+            return jax.lax.fori_loop(0, n_samples, one_sample, accum)
+
+        accum = film.prepare()
+        done = 0
+        while done < spp:
+            k = min(spd, spp - done)
+            accum = render_pass(compiled.arrays, accum, jnp.int32(done), k)
+            done += k
+        return film.develop(accum)

@@ -52,6 +52,9 @@ class ScenePlan:
     bvh_num_leaves: int
     bvh_leaf_size: int
     spectral_dim: int
+    medium_types: tuple = ()
+    has_media: bool = False
+    env_medium_ref: Optional[tuple] = None  # (tag, index, priority) or None
 
 
 class ShadingContext:
@@ -89,6 +92,7 @@ class CompiledScene:
             tri_e1=a["tri_e1"],
             tri_e2=a["tri_e2"],
             prim_index=a["prim_index"],
+            tri_opaque=a["tri_opaque"],
             aabb_min=a["aabb_min"],
             aabb_max=a["aabb_max"],
             skip=a["skip"],
@@ -117,6 +121,10 @@ class SceneCompiler:
         self._light_types: list = []
         self._light_rows: list = []
         self._light_cache: dict = {}
+        # medium tables
+        self._medium_types: list = []
+        self._medium_rows: list = []
+        self._medium_cache: dict = {}
 
     # ---- registration API used by plugin compile() methods ----
     def register_texture_row(self, cls, row: dict) -> int:
@@ -209,6 +217,19 @@ class SceneCompiler:
             self._light_cache[key] = (tag, len(rows) - 1)
         return self._light_cache[key]
 
+    def compile_medium(self, node):
+        key = id(node)
+        if key not in self._medium_cache:
+            cls = type(node)
+            if cls not in self._medium_types:
+                self._medium_types.append(cls)
+                self._medium_rows.append([])
+            tag = self._medium_types.index(cls)
+            rows = self._medium_rows[tag]
+            rows.append(node.compile(self))
+            self._medium_cache[key] = (tag, len(rows) - 1)
+        return self._medium_cache[key]
+
     # ---- geometry flattening (geometry.cpp:29-163 _process_shape) ----
     def _walk_shapes(self, time: float):
         """Yield (shape, world_matrix) for every mesh instance."""
@@ -244,6 +265,9 @@ class SceneCompiler:
             "light_tag": [],
             "light_index": [],
             "light_entry": [],
+            "medium_tag": [],
+            "medium_index": [],
+            "medium_priority": [],
             "two_sided": [],
             "shadow_terminator": [],
             "intersection_offset": [],
@@ -316,6 +340,15 @@ class SceneCompiler:
             else:
                 l_tag, l_idx, entry_id = -1, 0, -1
 
+            if medium is not None and not getattr(medium, "is_null", False) and not getattr(medium, "is_vacuum", False):
+                m_tag, m_idx = self.compile_medium(medium)
+                m_prio = float(medium.priority)
+            else:
+                m_tag, m_idx, m_prio = -1, 0, 0.0
+            inst_rows["medium_tag"].append(m_tag)
+            inst_rows["medium_index"].append(m_idx)
+            inst_rows["medium_priority"].append(m_prio)
+
             two_sided = shape.two_sided
             if two_sided is None:
                 two_sided = False
@@ -355,6 +388,15 @@ class SceneCompiler:
         if has_env:
             env.compile(self)
 
+        # environment (camera) medium, mega_vpt.cpp:99-151 tracker init
+        env_medium = self.scene.environment_medium
+        if env_medium is not None and not getattr(env_medium, "is_null", False) and not getattr(env_medium, "is_vacuum", False):
+            env_medium_ref = self.compile_medium(env_medium) + (
+                float(env_medium.priority),
+            )
+        else:
+            env_medium_ref = None
+
         # BVH (always built; brute force is chosen at trace time for tiny
         # scenes, traverse.py BRUTE_FORCE_MAX_TRIS)
         bvh = build_bvh(vertex_p, triangles)
@@ -362,6 +404,14 @@ class SceneCompiler:
         tv0 = vertex_p[sorted_tris[:, 0]]
         tv1 = vertex_p[sorted_tris[:, 1]]
         tv2 = vertex_p[sorted_tris[:, 2]]
+        # shadow blockers: anything with a surface or a light; null-surface
+        # medium boundaries are shadow-transparent
+        inst_blocks = (
+            np.asarray(inst_rows["surface_tag"]) >= 0
+        ) | (np.asarray(inst_rows["light_tag"]) >= 0)
+        tri_opaque_sorted = inst_blocks[
+            tri_inst[np.maximum(bvh.prim_index, 0)]
+        ] & (bvh.prim_index >= 0)
 
         world_min = vertex_p.min(axis=0)
         world_max = vertex_p.max(axis=0)
@@ -394,6 +444,8 @@ class SceneCompiler:
                             "light_tag",
                             "light_index",
                             "light_entry",
+                            "medium_tag",
+                            "medium_index",
                         )
                         else np.float32,
                     )
@@ -420,6 +472,7 @@ class SceneCompiler:
             ),
             "surfaces": stack_rows(self._surface_rows),
             "lights": stack_rows(self._light_rows),
+            "media": stack_rows(self._medium_rows),
             "textures": {
                 cls.impl_names[0]: {
                     k: jnp.asarray(np.stack([r[k] for r in rows]))
@@ -432,6 +485,7 @@ class SceneCompiler:
                 "tri_e1": jnp.asarray(tv1 - tv0),
                 "tri_e2": jnp.asarray(tv2 - tv0),
                 "prim_index": jnp.asarray(bvh.prim_index),
+                "tri_opaque": jnp.asarray(tri_opaque_sorted),
                 "aabb_min": jnp.asarray(bvh.aabb_min),
                 "aabb_max": jnp.asarray(bvh.aabb_max),
                 "skip": jnp.asarray(bvh.skip),
@@ -474,6 +528,9 @@ class SceneCompiler:
             bvh_num_leaves=int(bvh.num_leaves),
             bvh_leaf_size=int(bvh.leaf_size),
             spectral_dim=self.spectrum.dimension,
+            medium_types=tuple(self._medium_types),
+            has_media=bool(self._medium_types),
+            env_medium_ref=env_medium_ref,
         )
         return CompiledScene(
             arrays=arrays, plan=plan, scene=self.scene, spectrum=self.spectrum

@@ -23,6 +23,7 @@ def _make_geom(positions, triangles):
         tri_e1=jnp.asarray(v1 - v0),
         tri_e2=jnp.asarray(v2 - v0),
         prim_index=jnp.asarray(bvh.prim_index),
+        tri_opaque=jnp.asarray(bvh.prim_index >= 0),
         aabb_min=jnp.asarray(bvh.aabb_min),
         aabb_max=jnp.asarray(bvh.aabb_max),
         skip=jnp.asarray(bvh.skip),
