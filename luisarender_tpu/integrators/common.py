@@ -9,6 +9,7 @@ Conventions follow integrators/mega_path.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..accel import traverse
@@ -57,11 +58,16 @@ def shade_surface(
     n_rays,
     uniforms,
     time=0.0,
+    detach_sampling=False,
 ):
     """NEE + BSDF sampling at surface hits (mega_path.cpp:100-144), shared by
     the surface and volumetric integrators. uniforms = (u_sel, u_light (2),
     u_lobe, u_bsdf (2)). Returns updated (L, ray, beta, pdf_bsdf, eta_scale,
-    active, n_rays, event)."""
+    active, n_rays, event).
+
+    detach_sampling=True stops gradients at sampled directions and pdfs (the
+    detached-sampling estimator for differentiable rendering: gradients flow
+    through BSDF values and radiance, not through the sampling decisions)."""
     ctx = compiled.context(arrays)
     geom = compiled.trace_geometry(arrays)
     plan = compiled.plan
@@ -69,9 +75,15 @@ def shade_surface(
     c = plan.spectral_dim
     u_sel, u_light, u_lobe, u_bsdf = uniforms
 
+    detach = (
+        (lambda x: jax.lax.stop_gradient(x)) if detach_sampling else (lambda x: x)
+    )
+
     # --- NEE (mega_path.cpp:100-110) ---
     if plan.num_lights > 0 or plan.has_environment:
         ls = light_sampler.sample(ctx, it, u_sel, u_light, swl, time)
+        ls = {**ls, "pdf": detach(ls["pdf"]), "wi": detach(ls["wi"]),
+              "p": detach(ls["p"]), "ng": detach(ls["ng"])}
         shadow_ray = ct.spawn_ray_to(it, ls["p"], ls["ng"])
         shadow_ray = shadow_ray._replace(
             t_max=jnp.where(active & (ls["pdf"] > 0), shadow_ray.t_max, 0.0)
@@ -116,6 +128,7 @@ def shade_surface(
             "eta": jnp.ones((n,), jnp.float32),
         },
     )
+    s = {**s, "wi": detach(s["wi"]), "pdf": detach(s["pdf"])}
     new_ray = ct.spawn_ray(it, s["wi"])
     ray = ct.Ray(
         origin=jnp.where(active[..., None], new_ray.origin, ray.origin),
@@ -153,6 +166,7 @@ def bounce_step(
     rr_depth,
     rr_threshold,
     time=0.0,
+    detach_sampling=False,
 ):
     """Advance every active path by one bounce. Returns the updated carry.
 
@@ -233,6 +247,7 @@ def bounce_step(
         n_rays,
         (u_sel, u_light, u_lobe, u_bsdf),
         time=time,
+        detach_sampling=detach_sampling,
     )
 
     # --- Russian roulette (mega_path.cpp:146-153) ---
