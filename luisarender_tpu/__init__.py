@@ -27,7 +27,9 @@ from .transforms import all as _transforms  # noqa: F401
 from .filters import impls as _filters  # noqa: F401
 from .films import base as _films  # noqa: F401
 from .samplers import base as _samplers  # noqa: F401
+from .samplers import lds as _samplers_lds  # noqa: F401
 from .cameras import pinhole as _pinhole  # noqa: F401
+from .cameras import impls as _cameras_impls  # noqa: F401
 from .shapes import impls as _shapes  # noqa: F401
 from .textures import constant as _tex_constant  # noqa: F401
 from .textures import image as _tex_image  # noqa: F401
@@ -40,6 +42,7 @@ from .surfaces import metal as _surf_metal  # noqa: F401
 from .surfaces import plastic as _surf_plastic  # noqa: F401
 from .surfaces import null as _surf_null  # noqa: F401
 from .surfaces import mix as _surf_mix  # noqa: F401
+from .surfaces import disney as _surf_disney  # noqa: F401
 from .lights import diffuse as _light_diffuse  # noqa: F401
 from .lightsamplers import uniform as _ls_uniform  # noqa: F401
 from .environments import spherical as _env_spherical  # noqa: F401

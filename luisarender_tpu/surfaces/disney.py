@@ -1,0 +1,436 @@
+"""Disney "principled" BSDF.
+
+TPU-native equivalent of /root/reference/src/surfaces/disney.cpp (1040 LoC):
+the full 2015 Disney BSDF lobe set — diffuse, retro-reflection,
+Hanrahan-Krueger fake subsurface (via `flatness`, thin only), sheen,
+clearcoat (GTR1), metallic/dielectric microfacet specular with tint and
+anisotropy, specular transmission, and thin diffuse transmission
+(disney.cpp:326-333 lobe bits). Lobe selection follows the reference's
+CDF-over-lobe-weights scheme (disney.cpp:542-556). Textured parameters match
+the reference's names (disney.cpp:44-58).
+
+The whole surface is one batched closure: every lobe evaluates for every ray
+and combines by weight — on TPU this vectorized "evaluate everything" is
+exactly what the hardware wants, and XLA prunes lobes whose scene-constant
+weights fold to zero.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import frame as fr
+from ..core import microfacet as mf
+from ..core import sampling
+from ..core.colorspace import cie_y_of_srgb
+from ..scene.node import SceneNodeTag
+from ..scene.registry import register
+from ..textures.base import NULL_HANDLE, evaluate_handles
+from .base import (
+    EVENT_ENTER,
+    EVENT_EXIT,
+    EVENT_REFLECT,
+    EVENT_THROUGH,
+    PROPERTY_REFLECTIVE,
+    PROPERTY_TRANSMISSIVE,
+    Surface,
+    oriented_frame,
+    shading_frame,
+)
+
+PI = float(np.pi)
+
+_TEX_PARAMS = (
+    "metallic",
+    "eta",
+    "roughness",
+    "specular_tint",
+    "anisotropic",
+    "sheen",
+    "sheen_tint",
+    "clearcoat",
+    "clearcoat_gloss",
+    "specular_trans",
+    "flatness",
+    "diffuse_trans",
+)
+
+
+def _schlick_weight(cos_t):
+    m = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    return (m * m) * (m * m) * m
+
+
+def _gtr1(cos_h, alpha):
+    """Clearcoat NDF (GTR1, disney.cpp clearcoat lobe)."""
+    a2 = alpha * alpha
+    denom = PI * jnp.log(jnp.maximum(a2, 1e-8)) * (
+        1.0 + (a2 - 1.0) * cos_h * cos_h
+    )
+    return (a2 - 1.0) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+
+
+def _smith_g_sep(w, alpha):
+    """Separable Smith G for clearcoat (fixed alpha .25 in Disney)."""
+    c2 = fr.cos2_theta(w)
+    t2 = fr.sin2_theta(w) / jnp.maximum(c2, 1e-9)
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + alpha * alpha * t2))
+
+
+@register(SceneNodeTag.SURFACE, "disney", "Disney", "principled", "Principled")
+class DisneySurface(Surface):
+    properties = PROPERTY_REFLECTIVE | PROPERTY_TRANSMISSIVE
+
+    def __init__(self, scene, desc):
+        super().__init__(scene, desc)
+        color = desc.node("color") or desc.node("Kd")
+        self.color = scene.load_texture(color)
+        self.thin = desc.bool("thin", False)
+        self.remap_roughness = desc.bool("remap_roughness", True)
+        for name in _TEX_PARAMS:
+            setattr(self, name, scene.load_texture(desc.node(name)))
+        if self.thin:
+            self.properties |= 0  # thin handled per-row
+
+    def compile(self, compiler) -> dict:
+        row = self.compile_common(compiler)
+        row["color"] = np.int32(
+            self.color.compile(compiler) if self.color else NULL_HANDLE
+        )
+        for name in _TEX_PARAMS:
+            tex = getattr(self, name)
+            row[name] = np.int32(tex.compile(compiler) if tex else NULL_HANDLE)
+        row["thin"] = np.float32(1.0 if self.thin else 0.0)
+        row["remap_roughness"] = np.float32(1.0 if self.remap_roughness else 0.0)
+        return row
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _ctx(params, ctx, it, swl):
+        def tex(name, default):
+            return evaluate_handles(ctx, params[name], it, default=(default,) * 4)[
+                ..., 0
+            ]
+
+        color_rgba = evaluate_handles(
+            ctx, params["color"], it, default=(0.5, 0.5, 0.5, 0.0)
+        )
+        c = {
+            "color": ctx.spectrum.decode_albedo(color_rgba[..., :3], swl),
+            "color_lum": jnp.maximum(cie_y_of_srgb(color_rgba[..., :3]), 1e-6),
+            "metallic": tex("metallic", 0.0),
+            "eta": jnp.maximum(tex("eta", 1.5), 1.001),
+            "roughness": jnp.clip(tex("roughness", 0.5), 0.0, 1.0),
+            "spec_tint": tex("specular_tint", 0.0),
+            "aniso": tex("anisotropic", 0.0),
+            "sheen": tex("sheen", 0.0),
+            "sheen_tint": tex("sheen_tint", 0.0),
+            "clearcoat": tex("clearcoat", 0.0),
+            "cc_gloss": tex("clearcoat_gloss", 1.0),
+            "spec_trans": jnp.clip(tex("specular_trans", 0.0), 0.0, 1.0),
+            "flatness": tex("flatness", 0.0),
+            "diff_trans": jnp.clip(tex("diffuse_trans", 0.0), 0.0, 1.0) * 0.5,
+            "thin": params["thin"] > 0.5,
+        }
+        # anisotropic alphas (disney.cpp: aspect from anisotropic)
+        aspect = jnp.sqrt(jnp.maximum(1.0 - 0.9 * c["aniso"], 1e-4))
+        r = c["roughness"]
+        remap = params["remap_roughness"] > 0.5
+        rr = jnp.where(remap, r * r, r)
+        c["alpha"] = jnp.stack(
+            [jnp.maximum(rr / aspect, 1e-4), jnp.maximum(rr * aspect, 1e-4)],
+            axis=-1,
+        )
+        # spectral tints
+        lum = c["color_lum"][..., None]
+        c["tint"] = c["color"] / lum  # hue-preserving unit-luminance tint
+        c["csheen"] = (1.0 - c["sheen_tint"])[..., None] + c["sheen_tint"][
+            ..., None
+        ] * c["tint"]
+        f0 = ((c["eta"] - 1.0) / (c["eta"] + 1.0)) ** 2
+        cspec0_diel = f0[..., None] * (
+            (1.0 - c["spec_tint"])[..., None] + c["spec_tint"][..., None] * c["tint"]
+        )
+        c["cspec0"] = (
+            (1.0 - c["metallic"])[..., None] * cspec0_diel
+            + c["metallic"][..., None] * c["color"]
+        )
+        return c
+
+    # --- individual lobes (local frame, f WITHOUT |cos_i|) --------------
+    @staticmethod
+    def _diffuse_lobes(c, wo, wi, wh):
+        """Diffuse + retro + fake-ss + sheen (disney.cpp:392-415)."""
+        cos_o = fr.abs_cos_theta(wo)
+        cos_i = fr.abs_cos_theta(wi)
+        fo = _schlick_weight(cos_o)
+        fi = _schlick_weight(cos_i)
+        cos_d = fr.dot(wi, wh)
+
+        base = c["color"] * (1.0 / PI)
+        # pure diffuse (disney diffuse with Fresnel shadow)
+        f_diffuse = base * ((1.0 - 0.5 * fo) * (1.0 - 0.5 * fi))[..., None]
+        # retro-reflection
+        rr = 2.0 * c["roughness"] * cos_d * cos_d
+        f_retro = base * (rr * (fo + fi + fo * fi * (rr - 1.0)))[..., None]
+        # Hanrahan-Krueger fake subsurface (thin only, via flatness)
+        fss90 = cos_d * cos_d * c["roughness"]
+        fss = (1.0 + (fss90 - 1.0) * fo) * (1.0 + (fss90 - 1.0) * fi)
+        f_ss = base * (
+            1.25
+            * (
+                fss * (1.0 / jnp.maximum(cos_o + cos_i, 1e-4) - 0.5)
+                + 0.5
+            )
+        )[..., None]
+        # sheen
+        f_sheen = c["csheen"] * (c["sheen"] * _schlick_weight(jnp.abs(cos_d)))[
+            ..., None
+        ]
+
+        thin = c["thin"][..., None]
+        flat = c["flatness"][..., None]
+        diffuse_mix = jnp.where(thin, (1.0 - flat) * f_diffuse + flat * f_ss, f_diffuse)
+        return diffuse_mix + f_retro + f_sheen
+
+    @staticmethod
+    def _specular_lobe(c, wo, wi, wh):
+        d = mf.ggx_d(wh, c["alpha"])
+        g = mf.ggx_g(wo, wi, c["alpha"])
+        cos_d = fr.dot(wi, wh)
+        # disney fresnel: lerp(dielectric, schlick metallic) with tinted F0
+        f_diel = mf.fresnel_dielectric(cos_d, jnp.ones_like(c["eta"]), c["eta"])
+        f_schlick = mf.fresnel_schlick(cos_d, c["cspec0"])
+        fres = (
+            (1.0 - c["metallic"])[..., None] * f_diel[..., None]
+            * ((1.0 - c["spec_tint"])[..., None] + c["spec_tint"][..., None] * c["tint"])
+            + c["metallic"][..., None] * f_schlick
+        )
+        denom = jnp.maximum(
+            4.0 * fr.abs_cos_theta(wo) * fr.abs_cos_theta(wi), 1e-6
+        )
+        return fres * (d * g / denom)[..., None]
+
+    @staticmethod
+    def _clearcoat_lobe(c, wo, wi, wh):
+        alpha_cc = (1.0 - c["cc_gloss"]) * 0.1 + c["cc_gloss"] * 0.001
+        d = _gtr1(fr.abs_cos_theta(wh), alpha_cc)
+        f = 0.04 + 0.96 * _schlick_weight(fr.dot(wi, wh))
+        g = _smith_g_sep(wo, 0.25) * _smith_g_sep(wi, 0.25)
+        denom = jnp.maximum(
+            4.0 * fr.abs_cos_theta(wo) * fr.abs_cos_theta(wi), 1e-6
+        )
+        return (c["clearcoat"] * 0.25 * d * f * g / denom)[..., None]
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _eval_local(c, swl, wo, wi):
+        """Full BSDF f (INCLUDING |cos_i|) and pdf in local space."""
+        same = fr.same_hemisphere(wo, wi)
+        cos_i = fr.abs_cos_theta(wi)
+        cos_o = fr.abs_cos_theta(wo)
+        valid_r = same & (cos_i > 1e-6) & (cos_o > 1e-6)
+
+        wh = fr.normalize(wo + wi)
+        wh = jnp.where(fr.cos_theta(wh)[..., None] < 0.0, -wh, wh)
+
+        diffuse_weight = (1.0 - c["metallic"]) * (1.0 - c["spec_trans"])
+        f_diff = DisneySurface._diffuse_lobes(c, wo, wi, wh) * diffuse_weight[
+            ..., None
+        ]
+        # thin diffuse transmission replaces part of the diffuse
+        dt = c["diff_trans"]
+        f_diff = f_diff * jnp.where(c["thin"], 1.0 - dt, 1.0)[..., None]
+        f_spec = DisneySurface._specular_lobe(c, wo, wi, wh)
+        f_cc = DisneySurface._clearcoat_lobe(c, wo, wi, wh)
+        f_refl = (f_diff + f_spec + f_cc) * cos_i[..., None]
+        f_refl = jnp.where(valid_r[..., None], f_refl, 0.0)
+
+        # --- transmission lobes ---
+        eta = c["eta"]
+        trans_weight = (1.0 - c["metallic"]) * c["spec_trans"]
+        eta_rel = jnp.where(fr.cos_theta(wo) > 0.0, eta, 1.0 / eta)
+        # thin surfaces refract "through" with eta 1 (disney thin model)
+        eta_rel = jnp.where(c["thin"], 1.0, eta_rel)
+        wht = fr.normalize(wo + wi * eta_rel[..., None])
+        wht = jnp.where(fr.cos_theta(wht)[..., None] < 0.0, -wht, wht)
+        dot_o = fr.dot(wo, wht)
+        dot_i = fr.dot(wi, wht)
+        trans_ok = (
+            (~same) & (dot_o * dot_i < 0.0) & (cos_o > 1e-6) & (cos_i > 1e-6)
+        )
+        d_t = mf.ggx_d(wht, c["alpha"])
+        g_t = mf.ggx_g(wo, wi, c["alpha"])
+        f_ht = mf.fresnel_dielectric(dot_o, jnp.ones_like(eta), eta)
+        denom_t = dot_o + eta_rel * dot_i
+        f_st = (
+            (1.0 - f_ht)
+            * d_t
+            * g_t
+            * jnp.abs(dot_i * dot_o)
+            / jnp.maximum(cos_i * cos_o * denom_t * denom_t, 1e-8)
+        )
+        # sqrt(color): light crosses the interface twice (disney spec-trans)
+        f_strans = (
+            jnp.sqrt(jnp.maximum(c["color"], 0.0))
+            * (trans_weight * f_st)[..., None]
+        )
+        # thin diffuse transmission (lambertian through)
+        f_dtrans = c["color"] * (
+            diffuse_weight * dt / PI
+        )[..., None]
+        use_dtrans = c["thin"] & (~same)
+        f_trans = jnp.where(
+            use_dtrans[..., None],
+            f_dtrans,
+            jnp.where(trans_ok[..., None], f_strans, 0.0),
+        )
+        f_trans = f_trans * cos_i[..., None]
+        f = f_refl + jnp.where(same[..., None], 0.0, f_trans)
+
+        # --- pdf: lobe-weighted mixture (disney.cpp:542-556) ---
+        w_diff, w_spec, w_cc, w_trans = DisneySurface._lobe_weights(c)
+        pdf_diff = sampling.cosine_hemisphere_pdf(cos_i)
+        pdf_spec = mf.ggx_pdf(wo, wh, c["alpha"]) / jnp.maximum(
+            4.0 * jnp.abs(fr.dot(wo, wh)), 1e-6
+        )
+        alpha_cc = (1.0 - c["cc_gloss"]) * 0.1 + c["cc_gloss"] * 0.001
+        pdf_cc = (
+            _gtr1(fr.abs_cos_theta(wh), alpha_cc)
+            * fr.abs_cos_theta(wh)
+            / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, wh)), 1e-6)
+        )
+        dwh_dwi = (eta_rel / jnp.maximum(jnp.abs(denom_t), 1e-6)) ** 2 * jnp.abs(
+            dot_i
+        )
+        pdf_strans = mf.ggx_pdf(wo, wht, c["alpha"]) * dwh_dwi
+        pdf_dtrans = sampling.cosine_hemisphere_pdf(cos_i)
+        pdf_trans = jnp.where(use_dtrans, pdf_dtrans, jnp.where(trans_ok, pdf_strans, 0.0))
+        pdf = jnp.where(
+            same,
+            w_diff * pdf_diff + w_spec * pdf_spec + w_cc * pdf_cc,
+            w_trans * pdf_trans,
+        )
+        pdf = jnp.where((cos_o > 1e-6), pdf, 0.0)
+        return f, pdf
+
+    @staticmethod
+    def _lobe_weights(c):
+        """Normalized sampling weights for diffuse/specular/clearcoat/trans."""
+        metal = c["metallic"]
+        w_diff = (1.0 - metal) * (1.0 - c["spec_trans"]) * c["color_lum"]
+        w_spec = jnp.maximum(cie_y_of_srgb(c["cspec0"]), 0.1)
+        w_cc = 0.25 * c["clearcoat"]
+        w_trans = (1.0 - metal) * c["spec_trans"] + c["thin"].astype(
+            jnp.float32
+        ) * c["diff_trans"]
+        total = jnp.maximum(w_diff + w_spec + w_cc + w_trans, 1e-6)
+        return w_diff / total, w_spec / total, w_cc / total, w_trans / total
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def evaluate(params, ctx, it, swl, wo, wi):
+        frame = oriented_frame(params, ctx, it, wo)
+        c = DisneySurface._ctx(params, ctx, it, swl)
+        wo_l = fr.to_local(frame, wo)
+        wi_l = fr.to_local(frame, wi)
+        f, pdf = DisneySurface._eval_local(c, swl, wo_l, wi_l)
+        return {"f": f, "pdf": pdf}
+
+    @staticmethod
+    def sample(params, ctx, it, swl, wo, u_lobe, u):
+        frame = oriented_frame(params, ctx, it, wo)
+        c = DisneySurface._ctx(params, ctx, it, swl)
+        wo_l = fr.to_local(frame, wo)
+        w_diff, w_spec, w_cc, w_trans = DisneySurface._lobe_weights(c)
+
+        # lobe pick by CDF
+        cdf1 = w_diff
+        cdf2 = cdf1 + w_spec
+        cdf3 = cdf2 + w_cc
+        pick_diff = u_lobe < cdf1
+        pick_spec = (~pick_diff) & (u_lobe < cdf2)
+        pick_cc = (~pick_diff) & (~pick_spec) & (u_lobe < cdf3)
+        pick_trans = (~pick_diff) & (~pick_spec) & (~pick_cc)
+
+        sign = jnp.where(wo_l[..., 2:3] < 0.0, -1.0, 1.0)
+        # diffuse: cosine hemisphere on wo's side
+        wi_diff = sampling.sample_cosine_hemisphere(u) * jnp.concatenate(
+            [jnp.ones_like(sign), jnp.ones_like(sign), sign], axis=-1
+        )
+        # specular: GGX VNDF reflect
+        wh = mf.ggx_sample_wh(wo_l, u, c["alpha"])
+        wh_o = jnp.where(wo_l[..., 2:3] < 0, -wh, wh)
+        wi_spec = fr.reflect(wo_l, wh_o)
+        # clearcoat: GTR1 wh sampling
+        alpha_cc = (1.0 - c["cc_gloss"]) * 0.1 + c["cc_gloss"] * 0.001
+        a2 = alpha_cc * alpha_cc
+        cos_h = jnp.sqrt(
+            jnp.maximum(
+                (1.0 - jnp.power(a2, 1.0 - u[..., 0])) / jnp.maximum(1.0 - a2, 1e-6),
+                0.0,
+            )
+        )
+        sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+        phi = 2.0 * PI * u[..., 1]
+        wh_cc = jnp.stack(
+            [sin_h * jnp.cos(phi), sin_h * jnp.sin(phi), cos_h], axis=-1
+        ) * jnp.concatenate(
+            [jnp.ones_like(sign), jnp.ones_like(sign), sign], axis=-1
+        )
+        wi_cc = fr.reflect(wo_l, wh_cc)
+        # transmission: refract about GGX wh (or thin: flip through)
+        eta = c["eta"]
+        eta_rel_in = jnp.where(fr.cos_theta(wo_l) > 0.0, 1.0 / eta, eta)
+        wh_t = jnp.where(fr.dot(wo_l, wh_o)[..., None] < 0, -wh_o, wh_o)
+        ok_t, wi_refr = fr.refract(wo_l, wh_t, eta_rel_in)
+        # thin: diffuse transmission goes to the opposite hemisphere of wo
+        wi_trans = jnp.where(
+            c["thin"][..., None],
+            sampling.sample_cosine_hemisphere(u)
+            * jnp.concatenate(
+                [jnp.ones_like(sign), jnp.ones_like(sign), -sign], axis=-1
+            ),
+            wi_refr,
+        )
+
+        wi_l = jnp.where(
+            pick_diff[..., None],
+            wi_diff,
+            jnp.where(
+                pick_spec[..., None],
+                wi_spec,
+                jnp.where(pick_cc[..., None], wi_cc, wi_trans),
+            ),
+        )
+        f, pdf = DisneySurface._eval_local(c, swl, wo_l, wi_l)
+        valid = jnp.where(pick_trans & ~c["thin"], ok_t, True)
+        pdf = jnp.where(valid, pdf, 0.0)
+        wi = fr.to_world(frame, wi_l)
+        event = jnp.where(
+            fr.same_hemisphere(wo_l, wi_l),
+            EVENT_REFLECT,
+            jnp.where(
+                c["thin"],
+                EVENT_THROUGH,
+                jnp.where(fr.cos_theta(wo_l) > 0.0, EVENT_ENTER, EVENT_EXIT),
+            ),
+        ).astype(jnp.int32)
+        return {
+            "f": f,
+            "pdf": pdf,
+            "wi": wi,
+            "event": event,
+            "eta": jnp.where(c["thin"], jnp.ones_like(eta), eta),
+        }
+
+    @staticmethod
+    def albedo(params, ctx, it, swl):
+        rgba = evaluate_handles(ctx, params["color"], it, default=(0.5,) * 3 + (0.0,))
+        return ctx.spectrum.decode_albedo(rgba[..., :3], swl)
+
+    @staticmethod
+    def roughness(params, ctx, it):
+        r = evaluate_handles(ctx, params["roughness"], it, default=(0.5,) * 4)[..., 0]
+        return jnp.stack([r, r], axis=-1)

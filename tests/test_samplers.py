@@ -1,0 +1,110 @@
+"""Low-discrepancy sampler tests: uniformity, stratification quality vs
+independent sampling, and render integration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import luisarender_tpu as lr
+from luisarender_tpu import testing
+from luisarender_tpu.samplers.lds import owen_scramble, sobol_2d
+from luisarender_tpu.scene.node import SceneNodeDesc, SceneNodeTag
+from luisarender_tpu.scene.registry import lookup
+
+
+def make_sampler(impl, seed=123):
+    desc = SceneNodeDesc("s", SceneNodeTag.SAMPLER, impl)
+    desc.properties["seed"] = seed
+    cls = lookup(SceneNodeTag.SAMPLER, impl)
+    return cls(None, desc)
+
+
+class TestSobolCore:
+    def test_sobol_2d_stratification(self):
+        """First 2^k Sobol points hit every stratum of the 2^k grid."""
+        for k in (2, 4, 6):
+            n = 1 << k
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            d0, d1 = sobol_2d(idx)
+            u0 = np.asarray(d0).astype(np.float64) / 2**32
+            u1 = np.asarray(d1).astype(np.float64) / 2**32
+            # 1D stratification in each dim
+            assert len(np.unique((u0 * n).astype(int))) == n
+            assert len(np.unique((u1 * n).astype(int))) == n
+            # 2D: the (2^(k/2), 2^(k/2)) grid is fully covered
+            g = 1 << (k // 2)
+            cells = set(
+                zip((u0 * g).astype(int).tolist(), (u1 * g).astype(int).tolist())
+            )
+            assert len(cells) == n and g * g == n
+
+    def test_owen_scramble_preserves_stratification(self):
+        n = 64
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        d0, _ = sobol_2d(idx)
+        s = owen_scramble(d0, jnp.uint32(0xDEADBEEF))
+        u = np.asarray(s).astype(np.float64) / 2**32
+        assert len(np.unique((u * n).astype(int))) == n
+
+
+@pytest.mark.parametrize(
+    "impl", ["paddedsobol", "zsobol", "pmj02bn", "tileshared"]
+)
+class TestLDSSamplers:
+    def test_uniform_and_decorrelated(self, impl):
+        s = make_sampler(impl)
+        n = 4096
+        pix = jnp.stack(
+            [jnp.arange(n, dtype=jnp.int32) % 64, jnp.arange(n, dtype=jnp.int32) // 64],
+            axis=-1,
+        )
+        state = s.start(pix, 0)
+        state, u1 = s.generate_1d(state)
+        state, u2 = s.generate_2d(state)
+        for u in (np.asarray(u1), np.asarray(u2).ravel()):
+            assert u.min() >= 0.0 and u.max() < 1.0
+            assert abs(u.mean() - 0.5) < 0.02
+
+    def test_sequence_stratified_per_pixel(self, impl):
+        """Per-pixel sample sequences are better stratified than random."""
+        s = make_sampler(impl)
+        n_spp = 64
+        pix = jnp.zeros((n_spp, 2), jnp.int32)  # same pixel, all samples
+        us = []
+        for i in range(n_spp):
+            state = s.start(pix[:1], i)
+            state, u = s.generate_2d(state)
+            us.append(np.asarray(u)[0])
+        pts = np.asarray(us)
+        # discrepancy proxy: count occupied cells of an 8x8 grid (64 points)
+        cells = set(
+            zip((pts[:, 0] * 8).astype(int).tolist(), (pts[:, 1] * 8).astype(int).tolist())
+        )
+        # random sampling fills ~40 of 64; LDS should do much better
+        assert len(cells) >= 48, (impl, len(cells))
+
+    def test_renders(self, impl):
+        d = testing.cornell_box(resolution=(16, 16), spp=4, depth=2)
+        d["render"]["integrator"]["prop"]["sampler"] = {"impl": impl, "prop": {}}
+        img = lr.render(lr.Scene.from_dict(d))["cornell.exr"]
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.02
+
+
+class TestVarianceReduction:
+    def test_zsobol_beats_independent(self):
+        """At equal spp, zsobol renders closer to a high-spp reference."""
+        ref_d = testing.cornell_box(resolution=(16, 16), spp=256, depth=2)
+        ref = lr.render(lr.Scene.from_dict(ref_d))["cornell.exr"]
+
+        def render_with(impl, spp):
+            d = testing.cornell_box(resolution=(16, 16), spp=spp, depth=2)
+            d["render"]["integrator"]["prop"]["sampler"] = {
+                "impl": impl,
+                "prop": {},
+            }
+            return lr.render(lr.Scene.from_dict(d))["cornell.exr"]
+
+        err_ind = np.abs(render_with("independent", 16) - ref).mean()
+        err_lds = np.abs(render_with("zsobol", 16) - ref).mean()
+        assert err_lds < err_ind * 1.05, (err_lds, err_ind)
