@@ -193,7 +193,7 @@ def bounce_step(
     n_rays = carry["n_rays"] + jnp.sum(active.astype(jnp.int32))
     wo = -ray.direction
     hit = traverse.trace_closest(geom, ray)
-    it = surface_interaction(arrays, hit, ray)
+    it = surface_interaction(arrays, hit, ray, needs_uv=plan.needs_uv)
     it = it._replace(valid=it.valid & active)
 
     # --- miss: environment (mega_path.cpp:68-76) ---

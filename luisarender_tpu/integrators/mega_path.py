@@ -125,6 +125,7 @@ class MegakernelPathTracing(ProgressiveIntegrator):
                     max_depth=self.max_depth,
                     rr_depth=self.rr_depth,
                     rr_threshold=self.rr_threshold,
+                    time=self.render_time,
                 )
                 return film.accumulate_image(
                     acc, rgb.reshape(h, w, 3), weight.reshape(h, w)
@@ -132,10 +133,12 @@ class MegakernelPathTracing(ProgressiveIntegrator):
 
             return jax.lax.fori_loop(0, n_samples, one_sample, accum)
 
-        accum = film.prepare()
-        done = 0
-        while done < spp:
-            n = min(spd, spp - done)
-            accum = render_pass(compiled.arrays, accum, jnp.int32(done), n)
-            done += n
+        accum = self._progressive_loop(
+            film,
+            spp,
+            spd,
+            lambda accum, done, n: render_pass(
+                compiled.arrays, accum, jnp.int32(done), n
+            ),
+        )
         return film.develop(accum)

@@ -44,6 +44,60 @@ class DiffuseLight(Light):
         return L * params["scale"][..., None]
 
     @staticmethod
+    def sample_le(params, ctx, entry, u_pos, u_dir, swl):
+        """Photon emission (lights/diffuse.cpp:139-190 sample_le): pick a
+        triangle by area, uniform point, cosine-weighted direction; returns
+        position, direction, normal and radiant intensity weight such that
+        power = weight / n_photons integrates the light's emitted flux."""
+        geom = ctx.arrays
+        off = entry["alias_offset"]
+        cnt = entry["tri_count"]
+        prob = geom["light_alias_prob"]
+        alias = geom["light_alias_alias"]
+        n = cnt.astype(jnp.float32)
+        ux = u_pos[..., 0] * n
+        i_local = jnp.clip(ux.astype(jnp.int32), 0, cnt - 1)
+        up = ux - i_local.astype(jnp.float32)
+        take_alias = up >= prob[off + i_local]
+        i_local = jnp.where(take_alias, alias[off + i_local], i_local)
+        tri_id = entry["tri_offset"] + i_local
+        tri = geom["triangles"][tri_id]
+        p0 = geom["vertex_p"][tri[..., 0]]
+        p1 = geom["vertex_p"][tri[..., 1]]
+        p2 = geom["vertex_p"][tri[..., 2]]
+        bary = sampling.sample_uniform_triangle(
+            jnp.stack([up, u_pos[..., 1]], axis=-1)
+        )
+        b0, b1 = bary[..., 0], bary[..., 1]
+        b2 = 1.0 - b0 - b1
+        p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+        ng = fr.normalize(jnp.cross(p1 - p0, p2 - p0))
+        # cosine-weighted emission direction about ng
+        local = sampling.sample_cosine_hemisphere(u_dir)
+        frame = fr.make_frame(ng)
+        wi = fr.to_world(frame, local)
+        from ..core.types import Interaction
+
+        it_l = Interaction(
+            valid=jnp.ones(p.shape[:-1], bool),
+            inst=entry["inst"],
+            prim=tri_id,
+            p=p,
+            ng=ng,
+            ns=ng,
+            tangent=p1 - p0,
+            uv=jnp.zeros(p.shape[:-1] + (2,), jnp.float32),
+            prim_area=jnp.zeros(p.shape[:-1], jnp.float32),
+            back_facing=jnp.zeros(p.shape[:-1], bool),
+        )
+        L = DiffuseLight._radiance(params, ctx, it_l, swl)
+        # flux = integral of L cos over area and hemisphere = L * pi * A;
+        # with p(x) = 1/A and p(w) = cos/pi the estimator weight is L*pi*A
+        area = entry["total_area"]
+        weight = L * (np.pi * area)[..., None]
+        return {"p": p, "ng": ng, "wi": wi, "weight": weight}
+
+    @staticmethod
     def evaluate(params, ctx, it_light, p_from, swl):
         """Radiance seen from p_from when hitting the light's surface, plus the
         solid-angle pdf of NEE sampling that point (for MIS)."""

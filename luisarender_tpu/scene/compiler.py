@@ -55,6 +55,7 @@ class ScenePlan:
     medium_types: tuple = ()
     has_media: bool = False
     env_medium_ref: Optional[tuple] = None  # (tag, index, priority) or None
+    needs_uv: bool = True  # any uv-dependent texture / normal map present
 
 
 class ShadingContext:
@@ -531,6 +532,11 @@ class SceneCompiler:
             medium_types=tuple(self._medium_types),
             has_media=bool(self._medium_types),
             env_medium_ref=env_medium_ref,
+            needs_uv=any_nm
+            or any(
+                rows and cls.impl_names[0] != "constant"
+                for cls, rows in zip(self._texture_types, self._texture_rows)
+            ),
         )
         return CompiledScene(
             arrays=arrays, plan=plan, scene=self.scene, spectrum=self.spectrum

@@ -13,7 +13,10 @@ from ..core import frame as fr
 from ..core.types import Hit, Interaction
 
 
-def surface_interaction(arrays, hit: Hit, ray) -> Interaction:
+def surface_interaction(arrays, hit: Hit, ray, needs_uv: bool = True) -> Interaction:
+    """needs_uv=False (scene has no uv-dependent textures or normal maps)
+    skips the uv gathers and the dpdu computation — a measurable win since
+    the interaction runs every bounce for every ray."""
     prim = jnp.maximum(hit.prim, 0)
     valid = hit.prim >= 0
     tri = arrays["triangles"][prim]
@@ -25,16 +28,12 @@ def surface_interaction(arrays, hit: Hit, ray) -> Interaction:
     n0 = arrays["vertex_n"][tri[..., 0]]
     n1 = arrays["vertex_n"][tri[..., 1]]
     n2 = arrays["vertex_n"][tri[..., 2]]
-    uv0 = arrays["vertex_uv"][tri[..., 0]]
-    uv1 = arrays["vertex_uv"][tri[..., 1]]
-    uv2 = arrays["vertex_uv"][tri[..., 2]]
 
     # Möller-Trumbore barycentrics: p = (1-u-v) p0 + u p1 + v p2
     u = hit.bary[..., 0]
     v = hit.bary[..., 1]
     w = 1.0 - u - v
     p = w[..., None] * p0 + u[..., None] * p1 + v[..., None] * p2
-    uv = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
 
     e1 = p1 - p0
     e2 = p2 - p0
@@ -51,17 +50,25 @@ def surface_interaction(arrays, hit: Hit, ray) -> Interaction:
     # keep shading normal in the geometric hemisphere convention of the mesh
     ns = jnp.where(fr.dot(ns, ng)[..., None] < 0.0, -ns, ns)
 
-    # dpdu from uv parameterization (geometry.cpp:345-389); fallback to any
-    # tangent when the uv mapping is degenerate
-    duv1 = uv1 - uv0
-    duv2 = uv2 - uv0
-    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
-    dpdu = (
-        duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2
-    ) / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)[..., None]
-    degenerate = (jnp.abs(det) < 1e-12) | (fr.length(dpdu) < 1e-12)
-    fallback = fr.make_frame(ng)["s"]
-    tangent = jnp.where(degenerate[..., None], fallback, dpdu)
+    if needs_uv:
+        uv0 = arrays["vertex_uv"][tri[..., 0]]
+        uv1 = arrays["vertex_uv"][tri[..., 1]]
+        uv2 = arrays["vertex_uv"][tri[..., 2]]
+        uv = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
+        # dpdu from uv parameterization (geometry.cpp:345-389); fallback to
+        # any tangent when the uv mapping is degenerate
+        duv1 = uv1 - uv0
+        duv2 = uv2 - uv0
+        det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+        dpdu = (
+            duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2
+        ) / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)[..., None]
+        degenerate = (jnp.abs(det) < 1e-12) | (fr.length(dpdu) < 1e-12)
+        fallback = fr.make_frame(ng)["s"]
+        tangent = jnp.where(degenerate[..., None], fallback, dpdu)
+    else:
+        uv = jnp.zeros(p.shape[:-1] + (2,), jnp.float32)
+        tangent = fr.make_frame(ng)["s"]
 
     wo = -ray.direction
     back_facing = fr.dot(wo, ng) < 0.0
