@@ -35,6 +35,8 @@ from .textures import constant as _tex_constant  # noqa: F401
 from .textures import image as _tex_image  # noqa: F401
 from .textures import procedural as _tex_procedural  # noqa: F401
 from .texturemappings import impls as _texmap_impls  # noqa: F401
+from .textures import sky as _tex_sky  # noqa: F401
+from .shapes import loop_subdiv as _shape_subdiv  # noqa: F401
 from .surfaces import matte as _surf_matte  # noqa: F401
 from .surfaces import mirror as _surf_mirror  # noqa: F401
 from .surfaces import glass as _surf_glass  # noqa: F401

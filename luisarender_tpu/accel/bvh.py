@@ -31,13 +31,19 @@ import numpy as np
 
 
 class BVHArrays(NamedTuple):
-    """Flattened BVH. N = 2*L-1 nodes for L (power-of-two) leaves."""
+    """Flattened BVH in preorder DFS layout with skip links.
+
+    Interior node i's first child is i+1 (preorder); `skip[i]` is the next
+    node when the subtree rooted at i is culled (-1 = traversal done).
+    Leaves have node_count > 0 and own prims order[node_first : +node_count]
+    (node_count <= leaf_size; prim slots may be -1 padding)."""
 
     aabb_min: np.ndarray  # (N, 3) float32
     aabb_max: np.ndarray  # (N, 3) float32
-    skip: np.ndarray  # (N,) int32: next DFS node when subtree is skipped; -1 = done
-    prim_index: np.ndarray  # (P_padded,) int32: sorted triangle order (padded with -1)
-    num_leaves: np.ndarray  # () int32: L (leaf k owns prims [k*leaf_size, (k+1)*leaf_size))
+    skip: np.ndarray  # (N,) int32
+    node_first: np.ndarray  # (N,) int32: leaf first prim slot; -1 interior
+    node_count: np.ndarray  # (N,) int32: leaf prim count; 0 interior
+    prim_index: np.ndarray  # (P,) int32: sorted triangle order (may pad with -1)
     leaf_size: int
 
 
@@ -115,27 +121,50 @@ def build_bvh(
         aabb_max[parents] = np.maximum(aabb_max[left], aabb_max[right])
         level_start = parent_start
 
-    # Skip links: for node i, the next node in DFS order if the subtree rooted
-    # at i is not entered. skip(i) = right sibling of the deepest ancestor
-    # (including i itself) that is a left child; -1 at the root spine.
-    idx = np.arange(n_nodes, dtype=np.int64)
-    cur = idx.copy()
+    # Convert the heap-layout complete tree into preorder DFS order with
+    # skip links (the traversal layout shared with the native SAH builder,
+    # accel/cpp/bvh_builder.cpp). Iterative stack, O(n_nodes).
+    first_leaf = num_leaves - 1
+    preorder = np.empty(n_nodes, dtype=np.int64)  # preorder pos -> heap idx
     skip = np.full(n_nodes, -1, dtype=np.int32)
-    done = np.zeros(n_nodes, dtype=bool)
-    depth = int(np.ceil(np.log2(num_leaves))) + 1 if num_leaves > 1 else 1
-    for _ in range(depth + 1):
-        is_left = (cur % 2 == 1) & (cur > 0)
-        newly = is_left & ~done
-        skip[idx[newly]] = (cur[newly] + 1).astype(np.int32)
-        done |= is_left
-        done |= cur == 0
-        cur = np.where(cur > 0, (cur - 1) // 2, 0)
+    node_first = np.full(n_nodes, -1, dtype=np.int32)
+    node_count = np.zeros(n_nodes, dtype=np.int32)
+    stack = [(0, -1)]  # (heap idx, skip target in preorder numbering)
+    pos = 0
+    while stack:
+        heap_i, sk = stack.pop()
+        preorder[pos] = heap_i
+        skip[pos] = sk
+        if heap_i >= first_leaf:  # leaf
+            leaf_k = heap_i - first_leaf
+            node_first[pos] = leaf_k * leaf_size
+            node_count[pos] = leaf_size
+        else:
+            left, right = 2 * heap_i + 1, 2 * heap_i + 2
+            # right subtree lands after the left subtree; its preorder index
+            # is pos + 1 + size(left subtree). Sizes in a complete tree:
+            right_pos = pos + 1 + _subtree_size(left, num_leaves)
+            stack.append((right, sk))
+            stack.append((left, right_pos))
+        pos += 1
 
     return BVHArrays(
-        aabb_min=aabb_min,
-        aabb_max=aabb_max,
+        aabb_min=aabb_min[preorder],
+        aabb_max=aabb_max[preorder],
         skip=skip,
+        node_first=node_first,
+        node_count=node_count,
         prim_index=prim_index,
-        num_leaves=np.int32(num_leaves),
         leaf_size=leaf_size,
     )
+
+
+def _subtree_size(heap_i: int, num_leaves: int) -> int:
+    """Node count of the subtree rooted at heap index i in a complete tree
+    with num_leaves (power-of-two) leaves: every subtree at depth d has
+    2^(H-d+1) - 1 nodes, H = log2(num_leaves)."""
+    if num_leaves <= 1:
+        return 1
+    h = num_leaves.bit_length() - 1
+    depth = (heap_i + 1).bit_length() - 1
+    return (1 << (h - depth + 1)) - 1

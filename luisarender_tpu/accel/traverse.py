@@ -43,8 +43,9 @@ class TraceGeometry(NamedTuple):
     # medium boundaries don't — geometry.cpp alpha/visibility analogue)
     aabb_min: jnp.ndarray  # (N, 3)
     aabb_max: jnp.ndarray  # (N, 3)
-    skip: jnp.ndarray  # (N,) int32
-    num_leaves: jnp.ndarray  # () int32
+    skip: jnp.ndarray  # (N,) int32 preorder skip links
+    node_first: jnp.ndarray  # (N,) int32 leaf first prim slot (-1 interior)
+    node_count: jnp.ndarray  # (N,) int32 leaf prim count (0 interior)
     leaf_size: int  # static
     num_tris: int  # static (unpadded count)
 
@@ -221,8 +222,6 @@ def trace_closest_bvh(geom: TraceGeometry, rays, opaque_only: bool = False) -> H
     inv_d = _safe_inv(d)
     shape = o.shape[:-1]
     leaf_size = geom.leaf_size
-    num_leaves = geom.num_leaves
-    first_leaf = num_leaves - 1
 
     def cond(state):
         node, *_ = state
@@ -235,18 +234,22 @@ def trace_closest_bvh(geom: TraceGeometry, rays, opaque_only: bool = False) -> H
         bmin = geom.aabb_min[node_c]
         bmax = geom.aabb_max[node_c]
         hit_box = active & _slab_test(o, inv_d, rays.t_min, best_t, bmin, bmax)
-        is_leaf = node_c >= first_leaf
+        count = geom.node_count[node_c]
+        is_leaf = count > 0
 
-        # Leaf: test the block's triangles (static small loop, unrolled).
+        # Leaf: test the node's triangles (static small loop, unrolled).
         do_leaf = hit_box & is_leaf
-        base = (node_c - first_leaf) * leaf_size
+        base = jnp.maximum(geom.node_first[node_c], 0)
         for j in range(leaf_size):
-            pidx = base + j
+            pidx = jnp.minimum(base + j, geom.prim_index.shape[0] - 1)
             valid, t, u, v = intersect_tri(
                 o, d, geom.tri_v0[pidx], geom.tri_e1[pidx], geom.tri_e2[pidx]
             )
             pid = geom.prim_index[pidx]
-            valid &= do_leaf & (pid >= 0) & (t > rays.t_min) & (t < best_t)
+            valid &= (
+                do_leaf & (j < count) & (pid >= 0)
+                & (t > rays.t_min) & (t < best_t)
+            )
             if opaque_only:
                 valid &= geom.tri_opaque[pidx]
             best_t = jnp.where(valid, t, best_t)
@@ -254,10 +257,11 @@ def trace_closest_bvh(geom: TraceGeometry, rays, opaque_only: bool = False) -> H
             best_u = jnp.where(valid, u, best_u)
             best_v = jnp.where(valid, v, best_v)
 
+        # preorder layout: interior node's first child is node+1
         descend = hit_box & ~is_leaf
         next_node = jnp.where(
             descend,
-            2 * node_c + 1,
+            node_c + 1,
             jnp.where(active, geom.skip[node_c], -1),
         )
         return next_node, best_t, best_prim, best_u, best_v

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.bvh import build_bvh
+from ..accel.native import build_bvh_sah
 from ..accel.traverse import BRUTE_FORCE_MAX_TRIS, TraceGeometry
 from ..core.sampling import build_alias_table
 from ..shapes.base import compute_vertex_normals
@@ -49,7 +50,6 @@ class ScenePlan:
     any_normal_maps: bool
     any_alpha: bool
     use_bvh: bool
-    bvh_num_leaves: int
     bvh_leaf_size: int
     spectral_dim: int
     medium_types: tuple = ()
@@ -97,7 +97,8 @@ class CompiledScene:
             aabb_min=a["aabb_min"],
             aabb_max=a["aabb_max"],
             skip=a["skip"],
-            num_leaves=jnp.int32(self.plan.bvh_num_leaves),
+            node_first=a["node_first"],
+            node_count=a["node_count"],
             leaf_size=self.plan.bvh_leaf_size,
             num_tris=self.plan.num_tris,
         )
@@ -400,7 +401,8 @@ class SceneCompiler:
 
         # BVH (always built; brute force is chosen at trace time for tiny
         # scenes, traverse.py BRUTE_FORCE_MAX_TRIS)
-        bvh = build_bvh(vertex_p, triangles)
+        # native binned-SAH build preferred; numpy Morton fallback
+        bvh = build_bvh_sah(vertex_p, triangles) or build_bvh(vertex_p, triangles)
         sorted_tris = triangles[np.maximum(bvh.prim_index, 0)]
         tv0 = vertex_p[sorted_tris[:, 0]]
         tv1 = vertex_p[sorted_tris[:, 1]]
@@ -490,6 +492,8 @@ class SceneCompiler:
                 "aabb_min": jnp.asarray(bvh.aabb_min),
                 "aabb_max": jnp.asarray(bvh.aabb_max),
                 "skip": jnp.asarray(bvh.skip),
+                "node_first": jnp.asarray(bvh.node_first),
+                "node_count": jnp.asarray(bvh.node_count),
             },
             "world_min": jnp.asarray(world_min),
             "world_max": jnp.asarray(world_max),
@@ -526,7 +530,6 @@ class SceneCompiler:
             any_normal_maps=any_nm,
             any_alpha=any_alpha,
             use_bvh=num_tris > BRUTE_FORCE_MAX_TRIS,
-            bvh_num_leaves=int(bvh.num_leaves),
             bvh_leaf_size=int(bvh.leaf_size),
             spectral_dim=self.spectrum.dimension,
             medium_types=tuple(self._medium_types),

@@ -27,7 +27,8 @@ def _make_geom(positions, triangles):
         aabb_min=jnp.asarray(bvh.aabb_min),
         aabb_max=jnp.asarray(bvh.aabb_max),
         skip=jnp.asarray(bvh.skip),
-        num_leaves=jnp.int32(bvh.num_leaves),
+        node_first=jnp.asarray(bvh.node_first),
+        node_count=jnp.asarray(bvh.node_count),
         leaf_size=bvh.leaf_size,
         num_tris=triangles.shape[0],
     )
@@ -119,3 +120,62 @@ class TestBVHvsBruteForce:
         d = np.asarray(rays.direction)[hit]
         t = np.asarray(h.t)[hit]
         np.testing.assert_allclose(o + t[:, None] * d, p, atol=1e-3)
+
+
+class TestNativeSAHBuilder:
+    def test_native_matches_brute(self):
+        from luisarender_tpu.accel.native import build_bvh_sah, native_available
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        verts, tris = _random_scene(800, seed=11)
+        bvh = build_bvh_sah(verts, tris)
+        assert bvh is not None
+        sorted_tris = tris[np.maximum(bvh.prim_index, 0)]
+        v0 = verts[sorted_tris[:, 0]]
+        v1 = verts[sorted_tris[:, 1]]
+        v2 = verts[sorted_tris[:, 2]]
+        geom = TraceGeometry(
+            tri_v0=jnp.asarray(v0),
+            tri_e1=jnp.asarray(v1 - v0),
+            tri_e2=jnp.asarray(v2 - v0),
+            prim_index=jnp.asarray(bvh.prim_index),
+            tri_opaque=jnp.asarray(bvh.prim_index >= 0),
+            aabb_min=jnp.asarray(bvh.aabb_min),
+            aabb_max=jnp.asarray(bvh.aabb_max),
+            skip=jnp.asarray(bvh.skip),
+            node_first=jnp.asarray(bvh.node_first),
+            node_count=jnp.asarray(bvh.node_count),
+            leaf_size=bvh.leaf_size,
+            num_tris=tris.shape[0],
+        )
+        rays = _random_rays(2000, seed=12)
+        hb = trace_closest_brute(geom, rays)
+        ht = trace_closest_bvh(geom, rays)
+        np.testing.assert_array_equal(
+            np.asarray(hb.prim >= 0), np.asarray(ht.prim >= 0)
+        )
+        mask = np.asarray(hb.prim) >= 0
+        np.testing.assert_allclose(
+            np.asarray(hb.t)[mask], np.asarray(ht.t)[mask], rtol=1e-4, atol=1e-5
+        )
+
+    def test_preorder_invariants(self):
+        from luisarender_tpu.accel.native import build_bvh_sah, native_available
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        verts, tris = _random_scene(300, seed=13)
+        bvh = build_bvh_sah(verts, tris)
+        first = np.asarray(bvh.node_first)
+        count = np.asarray(bvh.node_count)
+        order = np.asarray(bvh.prim_index)
+        # every primitive appears exactly once across leaves
+        covered = np.concatenate(
+            [order[f : f + c] for f, c in zip(first, count) if c > 0]
+        )
+        assert sorted(covered.tolist()) == list(range(tris.shape[0]))
