@@ -26,6 +26,7 @@ from .scene.compiler import CompiledScene, compile_scene  # noqa: F401
 from .transforms import all as _transforms  # noqa: F401
 from .filters import impls as _filters  # noqa: F401
 from .films import base as _films  # noqa: F401
+from .films import display as _films_display  # noqa: F401
 from .samplers import base as _samplers  # noqa: F401
 from .samplers import lds as _samplers_lds  # noqa: F401
 from .cameras import pinhole as _pinhole  # noqa: F401

@@ -88,6 +88,8 @@ class ProgressiveIntegrator(Integrator):
             done += n
             since_ckpt += n
             log.info("progress: %d/%d spp", done, spp)
+            if hasattr(film, "maybe_preview"):
+                film.maybe_preview(accum)
             if ckpt and (since_ckpt >= self.checkpoint_interval or done >= spp):
                 np.savez(
                     ckpt, accum=np.asarray(jax.device_get(accum)),
