@@ -112,7 +112,8 @@ def make_render_fn(
             return carry, None
 
         step_fn = jax.checkpoint(step) if remat else step
-        carry, _ = jax.lax.scan(step_fn, carry, None, length=depth)
+        # +1 flushes the final bounce's deferred shadow ray (fused NEE)
+        carry, _ = jax.lax.scan(step_fn, carry, None, length=depth + 1)
         return spectrum.srgb(carry["L"], carry["swl"])
 
     def render(params, base_arrays):

@@ -36,10 +36,21 @@ def init_carry(ray, beta, state, swl, pixel_index=None):
         "depth": zero_f.astype(jnp.int32),
         "swl": swl,
         "n_rays": jnp.sum(zero_f).astype(jnp.int32),
+        # deferred NEE shadow ray (traced fused with the next bounce's
+        # closest ray when the scene is all-opaque — see bounce_step)
+        "shadow_ray": ray._replace(t_max=zero_f),
+        "shadow_contrib": jnp.broadcast_to(zero_f[..., None], (n, c)),
+        "shadow_pending": zero_f > 1.0,
     }
     if pixel_index is not None:
         carry["pixel_index"] = pixel_index
     return carry
+
+
+def has_work(carry):
+    """Loop condition for integrators driving bounce_step: live paths OR
+    deferred shadow rays awaiting their fused trace."""
+    return jnp.any(carry["active"]) | jnp.any(carry["shadow_pending"])
 
 
 def shade_surface(
@@ -59,11 +70,15 @@ def shade_surface(
     uniforms,
     time=0.0,
     detach_sampling=False,
+    defer_shadow=False,
 ):
     """NEE + BSDF sampling at surface hits (mega_path.cpp:100-144), shared by
     the surface and volumetric integrators. uniforms = (u_sel, u_light (2),
     u_lobe, u_bsdf (2)). Returns updated (L, ray, beta, pdf_bsdf, eta_scale,
-    active, n_rays, event).
+    active, n_rays, event) — and with defer_shadow=True an extra dict
+    {ray, contrib, pending}: the shadow ray is NOT traced here; the caller
+    traces it fused with the next bounce's closest ray (bounce_step) and
+    adds `contrib` for unoccluded lanes.
 
     detach_sampling=True stops gradients at sampled directions and pdfs (the
     detached-sampling estimator for differentiable rendering: gradients flow
@@ -80,16 +95,17 @@ def shade_surface(
     )
 
     # --- NEE (mega_path.cpp:100-110) ---
+    shadow_out = None
     if plan.num_lights > 0 or plan.has_environment:
         ls = light_sampler.sample(ctx, it, u_sel, u_light, swl, time)
         ls = {**ls, "pdf": detach(ls["pdf"]), "wi": detach(ls["wi"]),
               "p": detach(ls["p"]), "ng": detach(ls["ng"])}
         shadow_ray = ct.spawn_ray_to(it, ls["p"], ls["ng"])
+        shadow_pending = active & (ls["pdf"] > 0)
         shadow_ray = shadow_ray._replace(
-            t_max=jnp.where(active & (ls["pdf"] > 0), shadow_ray.t_max, 0.0)
+            t_max=jnp.where(shadow_pending, shadow_ray.t_max, 0.0)
         )
-        n_rays = n_rays + jnp.sum((active & (ls["pdf"] > 0)).astype(jnp.int32))
-        occluded = traverse.trace_any(geom, shadow_ray)
+        n_rays = n_rays + jnp.sum(shadow_pending.astype(jnp.int32))
         f_eval = surf_base.dispatch(
             ctx,
             it,
@@ -105,9 +121,25 @@ def shade_surface(
         w_mis = safe_div(
             sampling.balance_heuristic(ls["pdf"], f_eval["pdf"]), ls["pdf"]
         )
-        nee_ok = active & (ls["pdf"] > 0) & ~occluded
         contrib = beta * f_eval["f"] * ls["L"] * w_mis[..., None]
-        L = jnp.where(nee_ok[..., None], L + contrib, L)
+        contrib = jnp.where(shadow_pending[..., None], contrib, 0.0)
+        if defer_shadow:
+            shadow_out = {
+                "ray": shadow_ray,
+                "contrib": contrib,
+                "pending": shadow_pending,
+            }
+        else:
+            occluded = traverse.trace_any(geom, shadow_ray)
+            nee_ok = shadow_pending & ~occluded
+            L = jnp.where(nee_ok[..., None], L + contrib, L)
+    elif defer_shadow:
+        zero_f = jnp.zeros_like(ray.origin[..., 0])
+        shadow_out = {
+            "ray": ray._replace(t_max=zero_f),
+            "contrib": jnp.zeros((n, c), jnp.float32),
+            "pending": zero_f > 1.0,
+        }
 
     # --- BSDF sampling (mega_path.cpp:131-144) ---
     s = surf_base.dispatch(
@@ -152,6 +184,11 @@ def shade_surface(
     )
     eta_scale = jnp.where(active, eta_scale_new, eta_scale)
     active = active & (s["pdf"] > 0) & jnp.any(beta > 0, axis=-1)
+    if defer_shadow:
+        return (
+            L, ray, beta, pdf_bsdf, eta_scale, active, n_rays, s["event"],
+            shadow_out,
+        )
     return L, ray, beta, pdf_bsdf, eta_scale, active, n_rays, s["event"]
 
 
@@ -192,7 +229,33 @@ def bounce_step(
 
     n_rays = carry["n_rays"] + jnp.sum(active.astype(jnp.int32))
     wo = -ray.direction
-    hit = traverse.trace_closest(geom, ray)
+    # Fused trace: the previous bounce's DEFERRED shadow rays ride in the
+    # same batched trace as this bounce's closest rays (one kernel, double
+    # occupancy). Only valid when no shadow-transparent geometry exists —
+    # the combined closest trace treats shadow rays like any other ray.
+    fuse = plan.all_opaque
+    if fuse:
+        s_ray = carry["shadow_ray"]
+        rays_cat = ct.Ray(
+            origin=jnp.concatenate([ray.origin, s_ray.origin]),
+            direction=jnp.concatenate([ray.direction, s_ray.direction]),
+            t_min=jnp.concatenate([ray.t_min, s_ray.t_min]),
+            t_max=jnp.concatenate(
+                [jnp.where(active, ray.t_max, 0.0), s_ray.t_max]
+            ),
+        )
+        hit_cat = traverse.trace_closest(geom, rays_cat)
+        hit = ct.Hit(
+            inst=hit_cat.inst[:n],
+            prim=hit_cat.prim[:n],
+            bary=hit_cat.bary[:n],
+            t=hit_cat.t[:n],
+        )
+        occluded_prev = hit_cat.prim[n:] >= 0
+        nee_ok = carry["shadow_pending"] & ~occluded_prev
+        L = jnp.where(nee_ok[..., None], L + carry["shadow_contrib"], L)
+    else:
+        hit = traverse.trace_closest(geom, ray)
     it = surface_interaction(arrays, hit, ray, needs_uv=plan.needs_uv)
     it = it._replace(valid=it.valid & active)
 
@@ -231,7 +294,7 @@ def bounce_step(
     state, u_bsdf = sampler.generate_2d(state)
     state, u_rr = sampler.generate_1d(state)
 
-    L, ray, beta, pdf_bsdf, eta_scale, active, n_rays, event = shade_surface(
+    result = shade_surface(
         compiled,
         arrays,
         light_sampler,
@@ -248,7 +311,14 @@ def bounce_step(
         (u_sel, u_light, u_lobe, u_bsdf),
         time=time,
         detach_sampling=detach_sampling,
+        defer_shadow=fuse,
     )
+    if fuse:
+        (L, ray, beta, pdf_bsdf, eta_scale, active, n_rays, event,
+         shadow_out) = result
+    else:
+        L, ray, beta, pdf_bsdf, eta_scale, active, n_rays, event = result
+        shadow_out = None
 
     # --- Russian roulette (mega_path.cpp:146-153) ---
     q = jnp.maximum(jnp.max(beta, axis=-1) * eta_scale, 0.05)
@@ -261,6 +331,7 @@ def bounce_step(
     depth = depth + 1
     active = active & (depth < max_depth)
 
+    zero_f = jnp.zeros_like(ray.origin[..., 0])
     out = {
         "ray": ray,
         "beta": beta,
@@ -272,6 +343,13 @@ def bounce_step(
         "depth": depth,
         "swl": swl,
         "n_rays": n_rays,
+        "shadow_ray": shadow_out["ray"] if shadow_out else ray._replace(t_max=zero_f),
+        "shadow_contrib": shadow_out["contrib"]
+        if shadow_out
+        else jnp.broadcast_to(zero_f[..., None], (n, c)),
+        "shadow_pending": shadow_out["pending"]
+        if shadow_out
+        else zero_f > 1.0,
     }
     if "pixel_index" in carry:
         out["pixel_index"] = carry["pixel_index"]

@@ -65,7 +65,7 @@ def path_trace_batch(
     )
 
     def loop_cond(carry):
-        return jnp.any(carry["active"])
+        return common.has_work(carry)
 
     def loop_body(carry):
         return common.bounce_step(

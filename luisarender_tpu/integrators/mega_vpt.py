@@ -336,6 +336,11 @@ class MegakernelVolumePathTracing(ProgressiveIntegrator):
                 "n_rays": n_rays,
                 "tracker": tracker,
                 "crossings": crossings,
+                # unused here (shade_surface traces shadows immediately in
+                # the volumetric path) but kept for carry-structure parity
+                "shadow_ray": carry["shadow_ray"],
+                "shadow_contrib": carry["shadow_contrib"],
+                "shadow_pending": carry["shadow_pending"],
             }
 
         final = jax.lax.while_loop(loop_cond, loop_body, carry)

@@ -103,7 +103,9 @@ class WavefrontPathTracing(ProgressiveIntegrator):
 
         def splat_and_refill(carry, accum, counter):
             """Completed paths -> film; freed slots -> new camera samples."""
-            dead = ~carry["active"]
+            # a slot is free only when its path AND its deferred shadow ray
+            # (fused-trace NEE, common.bounce_step) are both done
+            dead = ~carry["active"] & ~carry["shadow_pending"]
             has_pixel = carry["pixel_index"] >= 0
             done = dead & has_pixel
             rgb = spectrum.srgb(carry["L"], carry["swl"])
@@ -153,7 +155,7 @@ class WavefrontPathTracing(ProgressiveIntegrator):
             carry, accum, counter = jax.lax.fori_loop(
                 0, self.iterations_per_launch, body, (carry, accum, counter)
             )
-            all_done = (~jnp.any(carry["active"])) & (counter >= total_samples)
+            all_done = (~common.has_work(carry)) & (counter >= total_samples)
             return carry, accum, counter, all_done
 
         # dead, pixel-less initial pool: the first iteration's refill fills it

@@ -157,7 +157,7 @@ def make_sharded_grad_fn(
                 return carry, None
 
             carry, _ = jax.lax.scan(
-                jax.checkpoint(step), carry, None, length=max_depth
+                jax.checkpoint(step), carry, None, length=max_depth + 1
             )
             acc = acc + spectrum.srgb(carry["L"], carry["swl"])
         return (acc / spp).reshape(rows, w, 3)

@@ -56,6 +56,8 @@ class ScenePlan:
     has_media: bool = False
     env_medium_ref: Optional[tuple] = None  # (tag, index, priority) or None
     needs_uv: bool = True  # any uv-dependent texture / normal map present
+    all_opaque: bool = True  # no shadow-transparent geometry (enables the
+    # fused closest+shadow trace in integrators/common.bounce_step)
 
 
 class ShadingContext:
@@ -535,6 +537,7 @@ class SceneCompiler:
             medium_types=tuple(self._medium_types),
             has_media=bool(self._medium_types),
             env_medium_ref=env_medium_ref,
+            all_opaque=bool(np.all(inst_blocks)),
             needs_uv=any_nm
             or any(
                 rows and cls.impl_names[0] != "constant"
