@@ -46,6 +46,7 @@ from .surfaces import plastic as _surf_plastic  # noqa: F401
 from .surfaces import null as _surf_null  # noqa: F401
 from .surfaces import mix as _surf_mix  # noqa: F401
 from .surfaces import disney as _surf_disney  # noqa: F401
+from .surfaces import layered as _surf_layered  # noqa: F401
 from .lights import diffuse as _light_diffuse  # noqa: F401
 from .lightsamplers import uniform as _ls_uniform  # noqa: F401
 from .environments import spherical as _env_spherical  # noqa: F401

@@ -54,3 +54,29 @@ class TestPFM:
         imageio.save_pfm(p, img)
         back = imageio.load_pfm(p)
         np.testing.assert_array_equal(back, img)
+
+
+class TestIES:
+    def test_parse_and_lookup(self, tmp_path):
+        from luisarender_tpu.utils.ies import IESProfile
+
+        # minimal LM-63 file: 3 vertical angles, 1 horizontal, cosine-ish lobe
+        content = """IESNA:LM-63-2002
+[TEST] sample
+TILT=NONE
+1 1000.0 1.0 3 1 1 1 0.1 0.1 0.1
+1.0 1.0 60.0
+0.0 90.0 180.0
+0.0
+1000.0 500.0 0.0
+"""
+        p = tmp_path / "lamp.ies"
+        p.write_text(content)
+        prof = IESProfile.parse(p)
+        assert prof.candela.shape == (1, 3)
+        # downward (theta=0) is brightest
+        assert prof.intensity(0.0, 0.0) > prof.intensity(90.0, 0.0)
+        assert prof.intensity(180.0, 0.0) == 0.0
+        img = prof.rasterize((16, 32))
+        assert img.shape == (16, 32)
+        assert img.max() == 1.0

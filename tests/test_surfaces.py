@@ -368,3 +368,57 @@ class TestMicrofacet:
         # TIR from inside beyond critical angle
         ftir = float(mf.fresnel_dielectric(jnp.asarray(-0.5), 1.0, 1.5))
         assert ftir == 1.0
+
+
+class TestLayered:
+    def test_energy_bounded_and_coat_highlights(self):
+        layered = {
+            "impl": "layered",
+            "prop": {
+                "base": {
+                    "impl": "matte",
+                    "prop": {"Kd": {"impl": "constant", "prop": {"v": [0.6, 0.2, 0.2]}}},
+                },
+                "roughness": {"impl": "constant", "prop": {"v": [0.1]}},
+                "eta": {"impl": "constant", "prop": {"v": [1.5]}},
+            },
+        }
+        r, _ = sampled_reflectance(layered, _norm(WO), n=1 << 16)
+        assert np.all(r <= 1.05), r
+        assert r[0] > r[1], r  # tinted base shows through
+
+    def test_sample_eval_consistent(self):
+        layered = {
+            "impl": "layered",
+            "prop": {
+                "base": {
+                    "impl": "matte",
+                    "prop": {"Kd": {"impl": "constant", "prop": {"v": [0.5, 0.5, 0.7]}}},
+                },
+                "roughness": {"impl": "constant", "prop": {"v": [0.3]}},
+            },
+        }
+        r_s, _ = sampled_reflectance(layered, _norm(WO), n=1 << 16)
+        r_u = uniform_reflectance(layered, _norm(WO), n=1 << 16)
+        np.testing.assert_allclose(r_s, r_u, rtol=0.1, atol=0.01)
+
+    def test_absorbing_coat_darkens(self):
+        def make(sig):
+            return {
+                "impl": "layered",
+                "prop": {
+                    "base": {
+                        "impl": "matte",
+                        "prop": {
+                            "Kd": {"impl": "constant", "prop": {"v": [0.8] * 3}}
+                        },
+                    },
+                    "roughness": {"impl": "constant", "prop": {"v": [0.2]}},
+                    "sigma_a": {"impl": "constant", "prop": {"v": [sig, sig, 0.0]}},
+                },
+            }
+
+        clear, _ = sampled_reflectance(make(0.0), _norm(WO))
+        tinted, _ = sampled_reflectance(make(1.0), _norm(WO))
+        assert tinted[0] < clear[0] * 0.7  # absorbed channels darken
+        assert tinted[2] > tinted[0]  # unabsorbed channel dominates
