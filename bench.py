@@ -2,6 +2,10 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 Runs on whatever accelerator jax selects (the real TPU chip under the driver).
+
+Secondary metrics (BASELINE.json): `python bench.py --grad` measures the
+gradient-pass overhead ratio (forward+adjoint vs forward); `--wave` runs the
+wavefront integrator on the same scene.
 """
 
 from __future__ import annotations
@@ -14,7 +18,82 @@ import jax
 import jax.numpy as jnp
 
 
+def grad_overhead():
+    """Adjoint-vs-forward wall-clock ratio on a small Cornell config."""
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+    from luisarender_tpu.diff.render import get_in, make_render_fn
+
+    scene = lr.Scene.from_dict(
+        testing.cornell_box(resolution=(128, 128), spp=2, depth=4)
+    )
+    compiled = lr.compile_scene(scene)
+    render = make_render_fn(
+        compiled, scene.cameras[0], scene.integrator, spp=2, max_depth=4
+    )
+    path = ("textures", "constant", "value")
+    params = {path: get_in(compiled.arrays, path)}
+
+    fwd = jax.jit(lambda p, a: jnp.mean(render(p, a)))
+    bwd = jax.jit(jax.grad(lambda p, a: jnp.mean(render(p, a))))
+
+    def timed(f, pull):
+        pull(f(params, compiled.arrays))  # compile
+        t0 = time.perf_counter()
+        for _ in range(4):
+            r = f(params, compiled.arrays)
+        pull(r)
+        return (time.perf_counter() - t0) / 4
+
+    t_f = timed(fwd, lambda r: float(r))
+    t_b = timed(bwd, lambda r: float(jnp.sum(r[path])))
+    ratio = (t_f + t_b) / t_f
+    print(
+        json.dumps(
+            {
+                "metric": "grad_pass_overhead",
+                "value": round(ratio, 3),
+                "unit": "x_forward",
+                "vs_baseline": round(ratio / 3.0, 4),
+            }
+        )
+    )
+
+
+def wave_bench():
+    """Wavefront integrator throughput on the Cornell config."""
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+
+    res, spp, depth = 1024, 4, 5
+    d = testing.cornell_box(
+        resolution=(res, res), spp=spp, depth=depth, integrator="wavepath"
+    )
+    scene = lr.Scene.from_dict(d)
+    compiled = lr.compile_scene(scene)
+    # compile+run once, then timed run
+    scene.integrator.render(compiled)
+    t0 = time.perf_counter()
+    scene.integrator.render(compiled)
+    dt = time.perf_counter() - t0
+    paths = res * res * spp
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_1024_wavefront_paths",
+                "value": round(paths / dt / 1e6, 3),
+                "unit": "Mpaths/s",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def main():
+    if "--grad" in sys.argv:
+        return grad_overhead()
+    if "--wave" in sys.argv:
+        return wave_bench()
     import luisarender_tpu as lr
     from luisarender_tpu import testing
     from luisarender_tpu.integrators.mega_path import path_trace_batch

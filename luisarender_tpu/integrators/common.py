@@ -20,6 +20,11 @@ from ..scene.geometry import surface_interaction
 from ..surfaces import base as surf_base
 
 
+# See bounce_step: deferred+fused shadow tracing measured slower end-to-end
+# on v5e; flip to re-evaluate on other hardware.
+FUSE_SHADOW_TRACES = False
+
+
 def init_carry(ray, beta, state, swl, pixel_index=None):
     """Fresh path state for a batch of camera rays."""
     n = ray.origin.shape[0]
@@ -230,10 +235,12 @@ def bounce_step(
     n_rays = carry["n_rays"] + jnp.sum(active.astype(jnp.int32))
     wo = -ray.direction
     # Fused trace: the previous bounce's DEFERRED shadow rays ride in the
-    # same batched trace as this bounce's closest rays (one kernel, double
-    # occupancy). Only valid when no shadow-transparent geometry exists —
-    # the combined closest trace treats shadow rays like any other ray.
-    fuse = plan.all_opaque
+    # same batched trace as this bounce's closest rays. MEASURED SLOWER on
+    # v5e Cornell (4.3 vs 6.7 Mray/s): the +1 flush iteration and the
+    # closest-hit machinery on shadow rays outweigh the launch savings, so
+    # it is off by default; only valid when no shadow-transparent geometry
+    # exists (the combined closest trace treats shadow rays like any ray).
+    fuse = plan.all_opaque and FUSE_SHADOW_TRACES
     if fuse:
         s_ray = carry["shadow_ray"]
         rays_cat = ct.Ray(
