@@ -32,6 +32,7 @@ from ..core import frame as fr
 from ..core import medium_tracker as mt
 from ..core import sampling
 from ..core import types as ct
+from ..core import rng as rng_mod
 from ..core.spectrum import safe_div
 from ..media import base as med_base
 from ..phasefunctions.hg import hg_p, hg_sample
@@ -119,6 +120,17 @@ class MegakernelVolumePathTracing(ProgressiveIntegrator):
             cur_tag, cur_idx = mt.unpack_ref(cur_ref)
             state, u_ch = sampler.generate_1d(state)
             state, u_dist = sampler.generate_1d(state)
+            # per-ray seed for heterogeneous tracking loops (media/grid.py);
+            # mix pixel+sample for dict-state (LDS) samplers so each spp gets
+            # fresh tracking randoms
+            seed_src = (
+                state
+                if not isinstance(state, dict)
+                else rng_mod.xxhash32(state["pixel"], state["sample"])
+            )
+            track_seed = rng_mod.xxhash32(
+                seed_src, depth.astype(jnp.uint32), jnp.uint32(0x7272)
+            )
             if plan.has_media:
                 ms = med_base.dispatch(
                     ctx,
@@ -129,6 +141,9 @@ class MegakernelVolumePathTracing(ProgressiveIntegrator):
                     t_hit,
                     u_ch,
                     u_dist,
+                    ray.origin,
+                    ray.direction,
+                    track_seed,
                     init={
                         "t": t_hit,
                         "scattered": jnp.zeros((n,), bool),
@@ -185,6 +200,9 @@ class MegakernelVolumePathTracing(ProgressiveIntegrator):
                     "transmittance",
                     swl,
                     d_light,
+                    p_scatter,
+                    ls["wi"],
+                    rng_mod.xxhash32(track_seed, jnp.uint32(0x5AD0)),
                     init=jnp.ones((n, c), jnp.float32),
                 )
                 cos_t = fr.dot(wo, ls["wi"])

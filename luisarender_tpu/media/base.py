@@ -45,12 +45,16 @@ class Medium(SceneNode):
 
     # --- device closure API (batched, spectral) ---
     @staticmethod
-    def transmittance(params, ctx, swl, distance):
-        """Tr over a segment of the given length: (..., C)."""
+    def transmittance(params, ctx, swl, distance, o=None, d=None, seed=None):
+        """Tr over a segment of the given length: (..., C). Heterogeneous
+        media additionally receive the ray (o, d) and a per-ray uint32 seed
+        for their tracking loops."""
         raise NotImplementedError
 
     @staticmethod
-    def sample_distance(params, ctx, swl, t_max, u_channel, u_dist):
+    def sample_distance(
+        params, ctx, swl, t_max, u_channel, u_dist, o=None, d=None, seed=None
+    ):
         """Sample a scattering distance. Returns dict:
         t (...,), scattered (...,) bool, weight (..., C) — the throughput
         factor (Tr * sigma_s / pdf for scatter, Tr / pdf for surface pass)."""
@@ -67,11 +71,13 @@ class VacuumMedium(Medium):
         return {"priority_": np.float32(self.priority)}
 
     @staticmethod
-    def transmittance(params, ctx, swl, distance):
+    def transmittance(params, ctx, swl, distance, o=None, d=None, seed=None):
         return jnp.ones(distance.shape + (swl.dimension,), jnp.float32)
 
     @staticmethod
-    def sample_distance(params, ctx, swl, t_max, u_channel, u_dist):
+    def sample_distance(
+        params, ctx, swl, t_max, u_channel, u_dist, o=None, d=None, seed=None
+    ):
         shape = t_max.shape
         return {
             "t": t_max,
@@ -124,13 +130,15 @@ class HomogeneousMedium(Medium):
         return jnp.maximum(sa, 0.0), jnp.maximum(ss, 0.0)
 
     @staticmethod
-    def transmittance(params, ctx, swl, distance):
+    def transmittance(params, ctx, swl, distance, o=None, d=None, seed=None):
         sa, ss = HomogeneousMedium._sigmas(params, ctx, swl)
         sigma_t = sa + ss
         return jnp.exp(-sigma_t * distance[..., None])
 
     @staticmethod
-    def sample_distance(params, ctx, swl, t_max, u_channel, u_dist):
+    def sample_distance(
+        params, ctx, swl, t_max, u_channel, u_dist, o=None, d=None, seed=None
+    ):
         """Channel-stochastic: pick a spectral channel uniformly, sample an
         exponential distance with its sigma_t, MIS-average the pdfs over
         channels (homogeneous.cpp:44-85)."""

@@ -117,6 +117,8 @@ class SceneCompiler:
         # image atlas (textures/image.py): list of np (H, W, 4) images
         self._atlas_images: list = []
         self._atlas_image_ids: dict = {}  # id(np array) -> image_id
+        # density grids (media/grid.py): list of np (D, H, W) volumes
+        self._density_grids: list = []
         # surface tables
         self._surface_types: list = []
         self._surface_rows: list = []
@@ -148,6 +150,25 @@ class SceneCompiler:
             self._atlas_image_ids[key] = len(self._atlas_images)
             self._atlas_images.append(image)
         return self._atlas_image_ids[key]
+
+    def register_density_grid(self, grid: "np.ndarray") -> int:
+        self._density_grids.append(np.asarray(grid, np.float32))
+        return len(self._density_grids) - 1
+
+    def _pack_density_grids(self):
+        """Pad all volumes to a common (G, D, H, W) block (the 3D analogue
+        of the texture atlas; volumes are few and small in practice)."""
+        if not self._density_grids:
+            return np.zeros((1, 1, 1, 1), np.float32), np.ones((1, 3), np.int32)
+        dmax = max(g.shape[0] for g in self._density_grids)
+        hmax = max(g.shape[1] for g in self._density_grids)
+        wmax = max(g.shape[2] for g in self._density_grids)
+        out = np.zeros((len(self._density_grids), dmax, hmax, wmax), np.float32)
+        dims = np.zeros((len(self._density_grids), 3), np.int32)
+        for i, g in enumerate(self._density_grids):
+            out[i, : g.shape[0], : g.shape[1], : g.shape[2]] = g
+            dims[i] = g.shape
+        return out, dims
 
     def _pack_atlas(self):
         """Shelf-pack all registered images into one (H, W, 4) array.
@@ -506,6 +527,9 @@ class SceneCompiler:
         atlas, atlas_rects = self._pack_atlas()
         arrays["texture_atlas"] = jnp.asarray(atlas)
         arrays["texture_atlas_rects"] = jnp.asarray(atlas_rects)
+        grids, grid_dims = self._pack_density_grids()
+        arrays["density_grids"] = jnp.asarray(grids)
+        arrays["density_grid_dims"] = jnp.asarray(grid_dims)
 
         any_nm = any(
             any(int(np.asarray(r.get("normal_map", -1))) >= 0 for r in rows)

@@ -150,3 +150,90 @@ class TestHomogeneousMedium:
             )
         )["slab.exr"]
         assert scatter.mean() > absorb.mean() * 1.2
+
+
+def _grid_slab_scene(sigma_a, density, dims, spp=64, depth=16, sigma_s=(0, 0, 0)):
+    """Same slab geometry as _slab_scene but with a heterogeneous grid medium.
+
+    Grid bounds cover the whole slab (x, y in [-9, 9], z in [-1, 1]) so the
+    density field is defined everywhere a camera ray traverses the medium."""
+    scene = _slab_scene(sigma_a, sigma_s=sigma_s, spp=spp, depth=depth)
+    scene["render"]["shapes"][1]["prop"]["medium"] = {
+        "impl": "grid",
+        "prop": {
+            "sigma_a": list(sigma_a),
+            "sigma_s": list(sigma_s),
+            "bounds_min": [-9.0, -9.0, -1.0],
+            "bounds_max": [9.0, 9.0, 1.0],
+            "density": density,
+            "dimensions": list(dims),
+        },
+    }
+    return scene
+
+
+class TestGridMedium:
+    def test_constant_density_matches_beer_lambert(self):
+        """Uniform density-1 grid must reproduce the homogeneous analytic
+        result Le * exp(-2 sigma_a) (delta tracking is unbiased)."""
+        sigma = (0.8, 0.4, 0.1)
+        nx, ny, nz = 4, 4, 4
+        density = [1.0] * (nx * ny * nz)
+        img = lr.render(
+            lr.Scene.from_dict(
+                _grid_slab_scene(sigma, density, (nx, ny, nz), spp=128)
+            )
+        )["slab.exr"]
+        center = img[6:10, 6:10].mean(axis=(0, 1))
+        expected = 3.0 * np.exp(-2.0 * np.asarray(sigma))
+        np.testing.assert_allclose(center, expected, rtol=0.12)
+
+    def test_half_density_scales_optical_depth(self):
+        """Density 0.5 halves the optical depth: Le * exp(-sigma_a)."""
+        sigma = (1.0, 0.6, 0.2)
+        nx, ny, nz = 2, 2, 2
+        density = [0.5] * (nx * ny * nz)
+        img = lr.render(
+            lr.Scene.from_dict(
+                _grid_slab_scene(sigma, density, (nx, ny, nz), spp=128)
+            )
+        )["slab.exr"]
+        center = img[6:10, 6:10].mean(axis=(0, 1))
+        expected = 3.0 * np.exp(-1.0 * np.asarray(sigma))
+        np.testing.assert_allclose(center, expected, rtol=0.12)
+
+    def test_linear_gradient_integrates_correctly(self):
+        """Density linear in z from 0 (back) to 1 (front): trilinear lookup is
+        exact for a linear field, so optical depth = sigma * integral = sigma
+        (avg density 0.5 over thickness 2)."""
+        sigma = (1.2, 0.5, 0.1)
+        nx, ny, nz = 2, 2, 2
+        # grid stored (z, y, x); z index 0 is bounds_min side (z=-1, toward
+        # the emitter), z index 1 the camera side
+        density = [0.0] * (nx * ny) + [1.0] * (nx * ny)
+        img = lr.render(
+            lr.Scene.from_dict(
+                _grid_slab_scene(sigma, density, (nx, ny, nz), spp=128)
+            )
+        )["slab.exr"]
+        center = img[6:10, 6:10].mean(axis=(0, 1))
+        expected = 3.0 * np.exp(-np.asarray(sigma))
+        np.testing.assert_allclose(center, expected, rtol=0.15)
+
+    def test_scattering_grid_keeps_energy(self):
+        """A purely scattering grid slab keeps more energy than an absorbing
+        one of equal extinction."""
+        absorb = lr.render(
+            lr.Scene.from_dict(
+                _grid_slab_scene((0.5,) * 3, [1.0] * 8, (2, 2, 2), spp=64)
+            )
+        )["slab.exr"]
+        scatter = lr.render(
+            lr.Scene.from_dict(
+                _grid_slab_scene(
+                    (0.0,) * 3, [1.0] * 8, (2, 2, 2),
+                    spp=64, depth=24, sigma_s=(0.5,) * 3,
+                )
+            )
+        )["slab.exr"]
+        assert scatter.mean() > absorb.mean() * 1.2
