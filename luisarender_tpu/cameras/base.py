@@ -38,6 +38,23 @@ class Camera(SceneNode):
         span = desc.float2("shutter_span", (0.0, 0.0))
         self.shutter_span = (float(span[0]), float(span[1]))
         self.shutter_samples = desc.int("shutter_samples", 0)
+        # near/far clip planes at camera-space depth (camera.h:121-159
+        # ClipPlaneCameraWrapper): `clip` = (near, far); a single float means
+        # (near, +inf). Converted per-ray to parametric t by dividing by the
+        # camera-space depth rate dot(d, -z).
+        clip = desc.float2("clip", None)
+        if clip is None:
+            clip_f = desc.float("clip", None)
+            if clip_f is None:
+                clip_f = desc.float("clip_plane", None)
+            clip = None if clip_f is None else (float(clip_f), 1e10)
+        if clip is not None:
+            lo, hi = sorted(
+                (max(float(clip[0]), 0.0), min(float(clip[1]), 1e10))
+            )
+            self.clip_plane = (lo, hi)
+        else:
+            self.clip_plane = None
 
     @property
     def requires_lens_sampling(self) -> bool:
@@ -76,6 +93,22 @@ class Camera(SceneNode):
 
         o = rot(o_c) + jnp.asarray(c2w[:3, 3])
         d = fr.normalize(rot(d_c))
+        if self.clip_plane is not None:
+            # depth -> ray parameter: rays leave the camera along -z in
+            # camera space; normalize d_c first since fr.normalize above
+            # applies to the rotated copy
+            dz = -d_c[..., 2] / jnp.maximum(fr.length(d_c), 1e-12)
+            inv = 1.0 / jnp.maximum(dz, 1e-6)
+            return (
+                make_ray(
+                    o,
+                    d,
+                    t_min=self.clip_plane[0] * inv,
+                    t_max=self.clip_plane[1] * inv,
+                ),
+                pixel,
+                weight * filter_weight,
+            )
         return make_ray(o, d), pixel, weight * filter_weight
 
     def shutter_weights(self, n_buckets: int):

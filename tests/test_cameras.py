@@ -121,3 +121,33 @@ class TestOrtho:
         img = lr.render(lr.Scene.from_dict(d))["cornell.exr"]
         assert np.isfinite(img).all()
         assert img.mean() > 0.005
+
+
+class TestClipPlane:
+    """camera.h:121-159 ClipPlaneCameraWrapper: `clip` = (near, far) at
+    camera-space depth, converted per-ray to parametric t."""
+
+    def test_far_clip_blacks_out_scene(self):
+        # Cornell camera sits ~9 units from the box: far clip at depth 1
+        # cuts away every surface.
+        d = _with_camera("pinhole", {"fov": 27.8, "clip": [0.0, 1.0]},
+                         spp=4, res=16)
+        img = lr.render(lr.Scene.from_dict(d))["cornell.exr"]
+        assert np.isfinite(img).all()
+        assert img.max() < 1e-5
+
+    def test_wide_clip_matches_unclipped(self):
+        base = _with_camera("pinhole", {"fov": 27.8}, spp=4, res=16)
+        clipped = _with_camera(
+            "pinhole", {"fov": 27.8, "clip": [0.001, 1e6]}, spp=4, res=16
+        )
+        a = lr.render(lr.Scene.from_dict(base))["cornell.exr"]
+        b = lr.render(lr.Scene.from_dict(clipped))["cornell.exr"]
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_near_clip_culls_front_geometry(self):
+        # near clip beyond the back wall (~14 units): everything culled
+        d = _with_camera("pinhole", {"fov": 27.8, "clip": [5000.0, 1e9]},
+                         spp=4, res=16)
+        img = lr.render(lr.Scene.from_dict(d))["cornell.exr"]
+        assert img.max() < 1e-5
