@@ -59,6 +59,7 @@ from .integrators import mega_vpt as _int_vpt  # noqa: F401
 from .integrators import aux as _int_aux  # noqa: F401
 from .integrators import megapm as _int_pm  # noqa: F401
 from .integrators import pssmlt as _int_mlt  # noqa: F401
+from .integrators import gpt as _int_gpt  # noqa: F401
 from .media import base as _media_base  # noqa: F401
 from .media import grid as _media_grid  # noqa: F401
 from .phasefunctions import hg as _phase_hg  # noqa: F401
