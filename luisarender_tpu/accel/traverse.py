@@ -10,8 +10,15 @@ traversal). Here both paths are pure JAX over batched SoA rays:
 - BVH: stackless skip-link traversal of the heap-layout tree built in bvh.py,
   a single `lax.while_loop` over (node_index, best_hit) per ray. All rays
   share one instruction stream; divergence costs only masked work.
+- Pallas (ops/brute_pallas.py): brute force with the triangle table resident
+  in VMEM — no HBM intermediates; 9.6x faster than the XLA brute force on
+  v5e; used automatically on TPU for small scenes.
 
 Triangle test: Möller–Trumbore, batched.
+
+Hit.prim convention: all tracers return the SORTED primitive slot (the index
+into the Morton/SAH-sorted tri_v0/tri_e1/tri_e2 arrays and the packed shade
+table, scene/geometry.py) — NOT the original triangle id; -1 = miss.
 """
 
 from __future__ import annotations
@@ -166,7 +173,7 @@ def trace_closest_brute(geom: TraceGeometry, rays, chunk: int = 512) -> Hit:
     ce2 = geom.tri_e2[sorted_idx]
     valid, t, u, v = intersect_tri(rays.origin, rays.direction, cv0, ce1, ce2)
     found &= valid
-    prim = jnp.where(found, geom.prim_index[sorted_idx], -1)
+    prim = jnp.where(found, sorted_idx, -1)
     return Hit(
         inst=jnp.where(found, jnp.int32(0), jnp.int32(-1)),  # inst filled by caller
         prim=prim,
@@ -253,7 +260,7 @@ def trace_closest_bvh(geom: TraceGeometry, rays, opaque_only: bool = False) -> H
             if opaque_only:
                 valid &= geom.tri_opaque[pidx]
             best_t = jnp.where(valid, t, best_t)
-            best_prim = jnp.where(valid, pid, best_prim)
+            best_prim = jnp.where(valid, pidx, best_prim)
             best_u = jnp.where(valid, u, best_u)
             best_v = jnp.where(valid, v, best_v)
 
@@ -284,8 +291,23 @@ def trace_closest_bvh(geom: TraceGeometry, rays, opaque_only: bool = False) -> H
     )
 
 
+def _use_pallas_brute(geom) -> bool:
+    """Pallas brute force: TPU backend + small (padded) triangle table."""
+    from ..ops import brute_pallas
+
+    return (
+        brute_pallas.ENABLED
+        and geom.tri_v0.shape[0] <= brute_pallas.MAX_TRIS
+        and jax.default_backend() == "tpu"
+    )
+
+
 def trace_closest(geom: TraceGeometry, rays) -> Hit:
     if geom.num_tris <= BRUTE_FORCE_MAX_TRIS:
+        if _use_pallas_brute(geom):
+            from ..ops import brute_pallas
+
+            return brute_pallas.trace_closest_pallas(geom, rays)
         return trace_closest_brute(geom, rays)
     return trace_closest_bvh(geom, rays)
 
@@ -293,6 +315,10 @@ def trace_closest(geom: TraceGeometry, rays) -> Hit:
 def trace_any(geom: TraceGeometry, rays):
     """Shadow-ray occlusion test; returns bool occluded per ray."""
     if geom.num_tris <= BRUTE_FORCE_MAX_TRIS:
+        if _use_pallas_brute(geom):
+            from ..ops import brute_pallas
+
+            return brute_pallas.trace_any_pallas(geom, rays)
         return trace_any_brute(geom, rays)
     hit = trace_closest_bvh(geom, rays, opaque_only=True)
     return ~hit.miss

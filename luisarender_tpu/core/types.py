@@ -45,7 +45,8 @@ class Hit(NamedTuple):
     """Closest-hit record (geometry.h Hit{inst, prim, bary})."""
 
     inst: jnp.ndarray  # (...,) int32, -1 = miss
-    prim: jnp.ndarray  # (...,) int32 global triangle index
+    prim: jnp.ndarray  # (...,) int32 SORTED primitive slot (accel/traverse.py
+    # Hit.prim convention: indexes tri_v0/e1/e2 + the packed shade table)
     bary: jnp.ndarray  # (..., 2)
     t: jnp.ndarray  # (...,)
 

@@ -164,7 +164,7 @@ def _traverse_kernel(
                 )
                 return (
                     jnp.where(ok, t, best_t),
-                    jnp.where(ok, pid, best_prim),
+                    jnp.where(ok, first + j, best_prim),
                     jnp.where(ok, u, best_u),
                     jnp.where(ok, v, best_v),
                 )

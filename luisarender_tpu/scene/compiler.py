@@ -32,6 +32,7 @@ from ..accel.native import build_bvh_sah
 from ..accel.traverse import BRUTE_FORCE_MAX_TRIS, TraceGeometry
 from ..core.sampling import build_alias_table
 from ..shapes.base import compute_vertex_normals
+from .geometry import build_shade_table
 from .scene import Scene
 
 
@@ -517,6 +518,17 @@ class SceneCompiler:
                 "skip": jnp.asarray(bvh.skip),
                 "node_first": jnp.asarray(bvh.node_first),
                 "node_count": jnp.asarray(bvh.node_count),
+                # packed slot-ordered shading attributes (scene/geometry.py)
+                "shade_table": jnp.asarray(
+                    build_shade_table(
+                        vertex_p,
+                        vertex_n,
+                        vertex_uv,
+                        triangles,
+                        tri_inst,
+                        bvh.prim_index,
+                    )
+                ),
             },
             "world_min": jnp.asarray(world_min),
             "world_max": jnp.asarray(world_max),

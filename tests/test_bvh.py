@@ -109,13 +109,13 @@ class TestBVHvsBruteForce:
         rays = _random_rays(1000, seed=8)
         h = trace_closest_bvh(geom, rays)
         hit = np.asarray(h.prim) >= 0
-        prim = np.asarray(h.prim)[hit]
+        slot = np.asarray(h.prim)[hit]  # sorted-slot convention
         u = np.asarray(h.bary)[hit, 0]
         v = np.asarray(h.bary)[hit, 1]
-        p0 = verts[tris[prim, 0]]
-        p1 = verts[tris[prim, 1]]
-        p2 = verts[tris[prim, 2]]
-        p = (1 - u - v)[:, None] * p0 + u[:, None] * p1 + v[:, None] * p2
+        p0 = np.asarray(geom.tri_v0)[slot]
+        e1 = np.asarray(geom.tri_e1)[slot]
+        e2 = np.asarray(geom.tri_e2)[slot]
+        p = p0 + u[:, None] * e1 + v[:, None] * e2
         o = np.asarray(rays.origin)[hit]
         d = np.asarray(rays.direction)[hit]
         t = np.asarray(h.t)[hit]

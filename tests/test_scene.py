@@ -2,6 +2,7 @@
 
 import json
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -167,6 +168,66 @@ class TestCompiler:
         # light alias table pdf ~ areas
         entries = compiled.arrays["light_entries"]
         assert float(entries["total_area"][0]) == pytest.approx(130 * 105, rel=1e-3)
+
+    def test_shade_table_matches_raw_arrays(self):
+        """The packed slot-ordered shade table (scene/geometry.py) must agree
+        with the raw vertex/triangle arrays it was packed from."""
+        scene = lr.Scene.from_dict(testing.cornell_box())
+        compiled = lr.compile_scene(scene)
+        a = compiled.arrays
+        table = np.asarray(a["trace"]["shade_table"])
+        order = np.asarray(a["trace"]["prim_index"])
+        valid = order >= 0
+        tris = np.asarray(a["triangles"])[np.maximum(order, 0)]
+        vp = np.asarray(a["vertex_p"])
+        vn = np.asarray(a["vertex_n"])
+        vuv = np.asarray(a["vertex_uv"])
+        np.testing.assert_allclose(table[valid, 0:3], vp[tris[valid, 0]], atol=1e-6)
+        np.testing.assert_allclose(
+            table[valid, 3:6], vp[tris[valid, 1]] - vp[tris[valid, 0]], atol=1e-6
+        )
+        np.testing.assert_allclose(table[valid, 13:16], vn[tris[valid, 0]], atol=1e-6)
+        np.testing.assert_allclose(table[valid, 22:24], vuv[tris[valid, 0]], atol=1e-6)
+        # geometric normal is unit and orthogonal to both edges
+        ng = table[valid, 9:12]
+        np.testing.assert_allclose((ng**2).sum(-1), 1.0, atol=1e-5)
+        assert np.abs((ng * table[valid, 3:6]).sum(-1)).max() < 1e-2
+        # instance ids match tri_inst; padding rows are flagged invalid
+        np.testing.assert_array_equal(
+            table[valid, 31].astype(np.int32),
+            np.asarray(a["tri_inst"])[np.maximum(order, 0)][valid],
+        )
+        assert np.all(table[~valid, 32] == 0.0)
+        assert np.all(table[valid, 32] == 1.0)
+
+    def test_interaction_consistency(self):
+        """surface_interaction reconstruction: p lies on the ray at t, normals
+        unit, uv interpolates, instance resolves (vs direct gather formula)."""
+        from luisarender_tpu.accel import traverse
+        from luisarender_tpu.core.types import make_ray
+        from luisarender_tpu.scene.geometry import surface_interaction
+
+        scene = lr.Scene.from_dict(testing.cornell_box())
+        compiled = lr.compile_scene(scene)
+        geom = compiled.trace_geometry()
+        rs = np.random.RandomState(7)
+        o = np.asarray([278.0, 273.0, 279.6], np.float32) + rs.randn(
+            512, 3
+        ).astype(np.float32)
+        d = rs.randn(512, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = make_ray(jnp.asarray(o), jnp.asarray(d))
+        hit = traverse.trace_closest(geom, rays)
+        it = surface_interaction(compiled.arrays, hit, rays)
+        v = np.asarray(it.valid)
+        assert v.sum() > 100
+        p = np.asarray(it.p)[v]
+        t = np.asarray(hit.t)[v]
+        np.testing.assert_allclose(p, o[v] + t[:, None] * d[v], atol=1e-2)
+        for n in (np.asarray(it.ng)[v], np.asarray(it.ns)[v]):
+            np.testing.assert_allclose((n**2).sum(-1), 1.0, atol=1e-4)
+        inst = np.asarray(it.inst)[v]
+        assert inst.min() >= 0 and inst.max() < compiled.plan.num_instances
 
     def test_transform_applied(self):
         d = _minimal_scene()
