@@ -133,16 +133,28 @@ def main():
         )
         return jnp.sum(rgb), stats["rays"]
 
+    # all spp batched in ONE dispatch (matching the production render loop,
+    # integrators/base.py samples-per-pass batching) so host->TPU round-trip
+    # latency is amortized, not measured
+    @jax.jit
+    def bench_batch(arrays, sample_index0):
+        def one(i, acc):
+            s_acc, r_acc = acc
+            s, r = bench_pass(arrays, sample_index0 + i)
+            return s_acc + s, r_acc + r
+
+        return jax.lax.fori_loop(
+            0, spp_bench, one, (jnp.float32(0.0), jnp.int32(0))
+        )
+
     # warmup + compile
-    s, r = bench_pass(compiled.arrays, jnp.int32(0))
+    s, r = bench_batch(compiled.arrays, jnp.int32(0))
     s.block_until_ready()
 
     t0 = time.perf_counter()
-    total_rays = 0
-    for i in range(spp_bench):
-        s, r = bench_pass(compiled.arrays, jnp.int32(spp_warm + i))
-        total_rays += int(r)
-        float(s)  # sync
+    s, r = bench_batch(compiled.arrays, jnp.int32(spp_warm))
+    total_rays = int(r)
+    float(s)  # sync
     dt = time.perf_counter() - t0
 
     mray_s = total_rays / dt / 1e6

@@ -12,6 +12,7 @@ import numpy as np
 
 from ..core import frame as fr
 from ..core import sampling
+from ..core.fetch import fetch_rows
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
 from ..textures.base import NULL_HANDLE, evaluate_handles
@@ -49,44 +50,38 @@ class DiffuseLight(Light):
         triangle by area, uniform point, cosine-weighted direction; returns
         position, direction, normal and radiant intensity weight such that
         power = weight / n_photons integrates the light's emitted flux."""
-        geom = ctx.arrays
-        off = entry["alias_offset"]
-        cnt = entry["tri_count"]
-        prob = geom["light_alias_prob"]
-        alias = geom["light_alias_alias"]
-        n = cnt.astype(jnp.float32)
-        ux = u_pos[..., 0] * n
-        i_local = jnp.clip(ux.astype(jnp.int32), 0, cnt - 1)
-        up = ux - i_local.astype(jnp.float32)
-        take_alias = up >= prob[off + i_local]
-        i_local = jnp.where(take_alias, alias[off + i_local], i_local)
-        tri_id = entry["tri_offset"] + i_local
-        tri = geom["triangles"][tri_id]
-        p0 = geom["vertex_p"][tri[..., 0]]
-        p1 = geom["vertex_p"][tri[..., 1]]
-        p2 = geom["vertex_p"][tri[..., 2]]
+        row, up = DiffuseLight._pick_triangle(ctx, entry, u_pos[..., 0])
         bary = sampling.sample_uniform_triangle(
             jnp.stack([up, u_pos[..., 1]], axis=-1)
         )
         b0, b1 = bary[..., 0], bary[..., 1]
         b2 = 1.0 - b0 - b1
-        p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
-        ng = fr.normalize(jnp.cross(p1 - p0, p2 - p0))
+        p = (
+            row[..., 0:3]
+            + b1[..., None] * row[..., 3:6]
+            + b2[..., None] * row[..., 6:9]
+        )
+        ng = row[..., 9:12]
         # cosine-weighted emission direction about ng
         local = sampling.sample_cosine_hemisphere(u_dir)
         frame = fr.make_frame(ng)
         wi = fr.to_world(frame, local)
+        uv = (
+            b0[..., None] * row[..., 12:14]
+            + b1[..., None] * row[..., 14:16]
+            + b2[..., None] * row[..., 16:18]
+        )
         from ..core.types import Interaction
 
         it_l = Interaction(
             valid=jnp.ones(p.shape[:-1], bool),
             inst=entry["inst"],
-            prim=tri_id,
+            prim=jnp.full(p.shape[:-1], -1, jnp.int32),
             p=p,
             ng=ng,
             ns=ng,
-            tangent=p1 - p0,
-            uv=jnp.zeros(p.shape[:-1] + (2,), jnp.float32),
+            tangent=row[..., 3:6],
+            uv=uv,
             prim_area=jnp.zeros(p.shape[:-1], jnp.float32),
             back_facing=jnp.zeros(p.shape[:-1], bool),
         )
@@ -121,34 +116,40 @@ class DiffuseLight(Light):
         return {"L": L, "pdf": pdf}
 
     @staticmethod
-    def sample(params, ctx, entry, p_from, u, swl):
-        # Pick a triangle by area via this entry's slice of the flat alias table.
-        geom = ctx.arrays
+    def _pick_triangle(ctx, entry, u0):
+        """Area-weighted alias pick into the packed light-triangle rows
+        (light_tri_rows, compiler.py): 2 row fetches replace the previous
+        7 gathers through triangles -> vertex arrays. Returns (row, up)
+        where up is the reused stratified remainder."""
+        rows = ctx.arrays["light_tri_rows"]
         off = entry["alias_offset"]
         cnt = entry["tri_count"]
-        prob = geom["light_alias_prob"]
-        alias = geom["light_alias_alias"]
         n = cnt.astype(jnp.float32)
-        ux = u[..., 0] * n
-        i_local = jnp.clip(ux.astype(jnp.int32), 0, cnt - 1)
-        up = ux - i_local.astype(jnp.float32)
-        p_keep = prob[off + i_local]
-        take_alias = up >= p_keep
-        i_local = jnp.where(take_alias, alias[off + i_local], i_local)
-        tri_id = entry["tri_offset"] + i_local
+        ux = u0 * n
+        i0 = jnp.clip(ux.astype(jnp.int32), 0, cnt - 1)
+        up = ux - i0.astype(jnp.float32)
+        row0 = fetch_rows(rows, jnp.clip(off + i0, 0, rows.shape[0] - 1))
+        take_alias = up >= row0[..., 18]
+        i_local = jnp.where(take_alias, row0[..., 19].astype(jnp.int32), i0)
+        idx = jnp.clip(off + i_local, 0, rows.shape[0] - 1)
+        row = jnp.where(take_alias[..., None], fetch_rows(rows, idx), row0)
+        return row, up
 
-        tri = geom["triangles"][tri_id]
-        p0 = geom["vertex_p"][tri[..., 0]]
-        p1 = geom["vertex_p"][tri[..., 1]]
-        p2 = geom["vertex_p"][tri[..., 2]]
+    @staticmethod
+    def sample(params, ctx, entry, p_from, u, swl):
+        row, up = DiffuseLight._pick_triangle(ctx, entry, u[..., 0])
         bary = sampling.sample_uniform_triangle(
             jnp.stack([up, u[..., 1]], axis=-1)
         )
         b0, b1 = bary[..., 0], bary[..., 1]
         b2 = 1.0 - b0 - b1
-        p_light = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
-        ng = jnp.cross(p1 - p0, p2 - p0)
-        ng = fr.normalize(ng)
+        # p = b0 p0 + b1 p1 + b2 p2 = v0 + b1 e1 + b2 e2
+        p_light = (
+            row[..., 0:3]
+            + b1[..., None] * row[..., 3:6]
+            + b2[..., None] * row[..., 6:9]
+        )
+        ng = row[..., 9:12]
 
         wo = fr.normalize(p_from - p_light)
         cos_l = fr.dot(wo, ng)
@@ -156,20 +157,21 @@ class DiffuseLight(Light):
         lit = (cos_l > 1e-6) | (two_sided & (jnp.abs(cos_l) > 1e-6))
 
         # uv for emission texture evaluation at the sampled point
-        uv0 = geom["vertex_uv"][tri[..., 0]]
-        uv1 = geom["vertex_uv"][tri[..., 1]]
-        uv2 = geom["vertex_uv"][tri[..., 2]]
-        uv = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
+        uv = (
+            b0[..., None] * row[..., 12:14]
+            + b1[..., None] * row[..., 14:16]
+            + b2[..., None] * row[..., 16:18]
+        )
         from ..core.types import Interaction
 
         it_light = Interaction(
             valid=lit,
             inst=entry["inst"],
-            prim=tri_id,
+            prim=jnp.full(cos_l.shape, -1, jnp.int32),  # light-local sample
             p=p_light,
             ng=ng,
             ns=ng,
-            tangent=p1 - p0,
+            tangent=row[..., 3:6],
             uv=uv,
             prim_area=jnp.zeros_like(cos_l),
             back_facing=cos_l < 0.0,

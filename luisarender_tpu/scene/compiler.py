@@ -309,6 +309,10 @@ class SceneCompiler:
         }
         alias_prob_flat: list = []
         alias_alias_flat: list = []
+        # packed per-emissive-triangle rows, same flat order as the alias
+        # tables (lights/diffuse.py fetches these instead of chasing
+        # triangles -> vertex arrays: 2 row fetches instead of 7 gathers)
+        light_tri_rows: list = []
 
         v_off = 0
         t_off = 0
@@ -363,6 +367,20 @@ class SceneCompiler:
                 light_entries["total_area"].append(float(areas.sum()))
                 alias_prob_flat.extend(np.asarray(table.prob).tolist())
                 alias_alias_flat.extend(np.asarray(table.alias).tolist())
+                lt = np.zeros((tris.shape[0], 24), np.float32)
+                lt[:, 0:3] = pw[tris[:, 0]]
+                lt[:, 3:6] = e0  # p1 - p0
+                lt[:, 6:9] = e1  # p2 - p0
+                ng_l = np.cross(e0, e1)
+                lt[:, 9:12] = ng_l / np.maximum(
+                    np.linalg.norm(ng_l, axis=-1, keepdims=True), 1e-20
+                )
+                lt[:, 12:14] = uv[tris[:, 0]]
+                lt[:, 14:16] = uv[tris[:, 1]]
+                lt[:, 16:18] = uv[tris[:, 2]]
+                lt[:, 18] = np.asarray(table.prob, np.float32)
+                lt[:, 19] = np.asarray(table.alias, np.float32)
+                light_tri_rows.append(lt)
             else:
                 l_tag, l_idx, entry_id = -1, 0, -1
 
@@ -496,6 +514,11 @@ class SceneCompiler:
                 np.asarray(alias_alias_flat, np.int32)
                 if alias_alias_flat
                 else np.zeros(1, np.int32)
+            ),
+            "light_tri_rows": jnp.asarray(
+                np.concatenate(light_tri_rows, axis=0)
+                if light_tri_rows
+                else np.zeros((1, 24), np.float32)
             ),
             "surfaces": stack_rows(self._surface_rows),
             "lights": stack_rows(self._light_rows),

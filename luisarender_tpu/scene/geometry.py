@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import frame as fr
+from ..core.fetch import fetch_rows
 from ..core.types import Hit, Interaction
 
 # Packed shade-table column layout (SHADE_COLS wide, slot-ordered rows):
@@ -110,7 +111,7 @@ def surface_interaction(arrays, hit: Hit, ray, needs_uv: bool = True) -> Interac
     (shade table, slot-indexed) + barycentric interpolation. needs_uv is kept
     for API compatibility; the packed row carries uv at no extra fetch cost."""
     slot = jnp.maximum(hit.prim, 0)
-    row = arrays["trace"]["shade_table"][slot]
+    row = fetch_rows(arrays["trace"]["shade_table"], slot)
     valid = (hit.prim >= 0) & (row[..., 32] > 0.0)
 
     u = hit.bary[..., 0]
