@@ -60,6 +60,15 @@ class Camera(SceneNode):
     def requires_lens_sampling(self) -> bool:
         return False
 
+    def ray_cone(self):
+        """(width0, spread): world-space ray-cone diameter at the origin and
+        its growth per unit distance, covering one pixel. Drives mip LOD
+        selection (textures/image.py) via Interaction.footprint — texture
+        level of detail with ray cones (the reference declares but stubs
+        mip LOD, textures/image.cpp:166,187-197). Subclasses override;
+        (0, 0) disables LOD tracking."""
+        return 0.0, 0.0
+
     def camera_to_world(self, time=0.0) -> np.ndarray:
         if self.transform is None:
             return np.eye(4)

@@ -39,6 +39,15 @@ class ThinLensCamera(Camera):
     def requires_lens_sampling(self):
         return True
 
+    def ray_cone(self):
+        # pixel footprint on the focus plane, projected back: spread by the
+        # sensor pixel angle (aperture blur is ignored — it only widens the
+        # footprint, and LOD under-estimation merely sharpens)
+        w, h = self.film.resolution
+        sensor_h = 0.024 if w >= h else 0.036
+        f = self.focal_length * 1e-3
+        return 0.0, (sensor_h / h) / f
+
     def _generate_ray_in_camera_space(self, pixel, u_lens, time):
         w, h = self.film.resolution
         # 35mm full-frame sensor: projected size by orientation
@@ -89,6 +98,11 @@ class OrthographicCamera(Camera):
     def __init__(self, scene, desc):
         super().__init__(scene, desc)
         self.zoom = desc.float("zoom", 0.0)
+
+    def ray_cone(self):
+        # parallel rays: constant one-pixel width, zero spread
+        scale = float(2.0 ** -self.zoom)
+        return 2.0 * scale / float(self.film.resolution[1]), 0.0
 
     def _generate_ray_in_camera_space(self, pixel, u_lens, time):
         res = jnp.asarray(self.film.resolution, dtype=jnp.float32)

@@ -21,6 +21,12 @@ class PinholeCamera(Camera):
         super().__init__(scene, desc)
         self.fov = desc.float("fov", 35.0)  # degrees, vertical
 
+    def ray_cone(self):
+        # one-pixel cone: the image plane spans 2 tan(fov/2) vertically over
+        # resolution.y pixels at unit distance
+        tan_half = float(np.tan(np.deg2rad(self.fov) * 0.5))
+        return 0.0, 2.0 * tan_half / float(self.film.resolution[1])
+
     def _generate_ray_in_camera_space(self, pixel, u_lens, time):
         res = jnp.asarray(self.film.resolution, dtype=jnp.float32)
         tan_half = float(np.tan(np.deg2rad(self.fov) * 0.5))

@@ -77,6 +77,9 @@ class Interaction(NamedTuple):
     uv: jnp.ndarray  # (..., 2)
     prim_area: jnp.ndarray  # (...,) triangle area (world)
     back_facing: jnp.ndarray  # (...,) bool: wo opposite of ng
+    # uv-space texture footprint radius from ray-cone tracking (None = no
+    # LOD information; textures then sample the base mip level)
+    footprint: jnp.ndarray = None
 
     def shading_frame(self):
         return fr.frame_from_z_and_hint(self.ns, self.tangent)

@@ -25,8 +25,11 @@ from ..surfaces import base as surf_base
 FUSE_SHADOW_TRACES = False
 
 
-def init_carry(ray, beta, state, swl, pixel_index=None):
-    """Fresh path state for a batch of camera rays."""
+def init_carry(ray, beta, state, swl, pixel_index=None, cone=None):
+    """Fresh path state for a batch of camera rays.
+
+    cone: optional (width0, spread) from camera.ray_cone() — enables
+    ray-cone texture LOD tracking through the bounce loop."""
     n = ray.origin.shape[0]
     c = beta.shape[-1]
     zero_f = jnp.zeros_like(ray.origin[..., 0])
@@ -49,6 +52,10 @@ def init_carry(ray, beta, state, swl, pixel_index=None):
     }
     if pixel_index is not None:
         carry["pixel_index"] = pixel_index
+    if cone is not None:
+        width0, spread = cone
+        carry["cone_width"] = zero_f + jnp.float32(width0)
+        carry["cone_spread"] = zero_f + jnp.float32(spread)
     return carry
 
 
@@ -263,7 +270,17 @@ def bounce_step(
         L = jnp.where(nee_ok[..., None], L + carry["shadow_contrib"], L)
     else:
         hit = traverse.trace_closest(geom, ray)
-    it = surface_interaction(arrays, hit, ray, needs_uv=plan.needs_uv)
+    cone_width = None
+    if "cone_width" in carry:
+        # ray-cone LOD: the cone widens linearly with distance; surface
+        # curvature/roughness growth is intentionally ignored (under-
+        # estimating LOD only sharpens)
+        cone_width = carry["cone_width"] + carry["cone_spread"] * jnp.where(
+            jnp.isfinite(hit.t), hit.t, 0.0
+        )
+    it = surface_interaction(
+        arrays, hit, ray, needs_uv=plan.needs_uv, cone_width=cone_width
+    )
     it = it._replace(valid=it.valid & active)
 
     # --- miss: environment (mega_path.cpp:68-76) ---
@@ -358,6 +375,11 @@ def bounce_step(
         if shadow_out
         else zero_f > 1.0,
     }
-    if "pixel_index" in carry:
-        out["pixel_index"] = carry["pixel_index"]
+    # integrator-specific fields (pixel_index, wavefront next_sample /
+    # unsplatted, ...) ride along untouched
+    for k, v in carry.items():
+        if k not in out:
+            out[k] = v
+    if cone_width is not None:
+        out["cone_width"] = jnp.where(active, cone_width, carry["cone_width"])
     return out

@@ -61,7 +61,11 @@ def path_trace_batch(
         swl = spectrum.sample_wavelengths(u_swl[..., None])
 
     init = common.init_carry(
-        ray, jnp.broadcast_to(cam_weight[..., None], (n, c)), state, swl
+        ray,
+        jnp.broadcast_to(cam_weight[..., None], (n, c)),
+        state,
+        swl,
+        cone=camera.ray_cone(),
     )
 
     def loop_cond(carry):

@@ -86,7 +86,7 @@ class GridMedium(Medium):
         self.bounds_min = np.asarray(bounds_min, np.float32)
         self.bounds_max = np.asarray(bounds_max, np.float32)
         density = desc.float_list("density", None)
-        file = desc.string("file", None)
+        file = desc.path("file", None)
         dims = desc.float_list("dimensions", None)
         if density is not None:
             if dims is None or len(dims) != 3:

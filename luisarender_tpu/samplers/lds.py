@@ -114,12 +114,11 @@ class _LDSBase(Sampler):
         return state, jnp.stack([u0, u1], axis=-1)
 
 
-@register(SceneNodeTag.SAMPLER, "paddedsobol", "PaddedSobol", "padded_sobol",
-          "sobol", "Sobol")
+@register(SceneNodeTag.SAMPLER, "paddedsobol", "PaddedSobol", "padded_sobol")
 class PaddedSobolSampler(_LDSBase):
     """Per-dimension-pair Owen-scrambled Sobol (0,2) points with hashed index
-    shuffling (samplers/padded_sobol.cpp; also serves as `sobol` — see module
-    docstring for the high-dimension padding deviation)."""
+    shuffling (samplers/padded_sobol.cpp; see module docstring for the
+    high-dimension padding design)."""
 
     def _sample_u32(self, state, dim):
         pair = dim >> 1
@@ -131,6 +130,40 @@ class PaddedSobolSampler(_LDSBase):
         v = jnp.where(comp == 0, d0, d1)
         scramble_seed = rng.xxhash32(state["pixel"], pair, comp, self.seed + 1)
         return owen_scramble(v, scramble_seed)
+
+
+@register(SceneNodeTag.SAMPLER, "sobol", "Sobol")
+class SobolMatrixSampler(_LDSBase):
+    """True high-dimensional Sobol sampler (samplers/sobol.cpp). Direction
+    numbers are GENERATED, not shipped: primitive polynomials over GF(2) are
+    enumerated and the direction recurrence evaluated at scene-load time
+    (core/sobolgen.py replaces util/sobolmatrices.cpp's 9k-line Joe-Kuo
+    table). Per-(pixel, dimension) fast Owen scrambling randomizes the
+    sequence (sobol.cpp:40-48); dimensions wrap at NSobolDimensions = 1024
+    (sobol.cpp's NSobolDimensions) like the reference. Deviation: the
+    reference derives one global sample index per pixel from van der Corput
+    matrix pairs (sobol.cpp:67-96); here each pixel consumes the sequence at
+    its own sample index under a per-pixel Owen scramble — same per-pixel
+    stratification, decorrelated across pixels."""
+
+    N_DIMS = 1024
+
+    def __init__(self, scene, desc):
+        super().__init__(scene, desc)
+        from ..core.sobolgen import sobol_matrices
+
+        self.matrices = jnp.asarray(sobol_matrices(self.N_DIMS))  # (D, 32) u32
+
+    def _sample_u32(self, state, dim):
+        dimw = (dim % _U32(self.N_DIMS)).astype(jnp.int32)
+        rows = self.matrices[dimw]  # (..., 32) uint32
+        index = state["sample"].astype(_U32)
+        x = jnp.zeros_like(index)
+        for j in range(32):
+            bit = (index >> _U32(j)) & _U32(1)
+            x = x ^ (bit * rows[..., j])
+        seed = rng.xxhash32(state["pixel"], dim, self.seed)
+        return owen_scramble(x, seed)
 
 
 @register(SceneNodeTag.SAMPLER, "zsobol", "ZSobol")

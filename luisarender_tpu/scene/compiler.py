@@ -171,28 +171,55 @@ class SceneCompiler:
             dims[i] = g.shape
         return out, dims
 
+    @staticmethod
+    def _mip_chain(img: "np.ndarray") -> list:
+        """Full 2x box-filtered mip chain down to 1x1 (the reference declares
+        mipmaps but stubs generation, textures/image.cpp:187-197 — we build
+        real ones; LOD selection comes from ray cones, see
+        textures/image.py)."""
+        levels = [img]
+        cur = img
+        while cur.shape[0] > 1 or cur.shape[1] > 1:
+            h, w = cur.shape[:2]
+            # pad odd dims by edge replication so every level halves cleanly
+            if h % 2 or w % 2:
+                cur = np.pad(
+                    cur, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge"
+                )
+                h, w = cur.shape[:2]
+            cur = (
+                cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2]
+            ) * 0.25
+            levels.append(np.ascontiguousarray(cur, np.float32))
+        return levels
+
     def _pack_atlas(self):
-        """Shelf-pack all registered images into one (H, W, 4) array.
+        """Shelf-pack all registered images AND their mip chains into one
+        (H, W, 4) array.
 
         The TPU analogue of the reference's 500k-slot BindlessArray
-        (base/pipeline.h:60): one mega-texture + per-texture rects, fetched
-        by gather."""
+        (base/pipeline.h:60): one mega-texture + per-level rects fetched by
+        gather. Returns (atlas, rects, mip_table): rects is flat per-LEVEL
+        (x, y, w, h); mip_table is (n_images, 2) = (first rect id, level
+        count) so image i's level l rect is rects[mip_table[i,0] + l]."""
         if not self._atlas_images:
             return (
                 np.zeros((1, 1, 4), np.float32),
                 np.zeros((1, 4), np.int32),
+                np.zeros((1, 2), np.int32),
             )
-        order = sorted(
-            range(len(self._atlas_images)),
-            key=lambda i: -self._atlas_images[i].shape[0],
-        )
-        atlas_w = max(
-            2048, max(img.shape[1] for img in self._atlas_images)
-        )
-        rects = [None] * len(self._atlas_images)
+        chains = [self._mip_chain(img) for img in self._atlas_images]
+        mip_table = []
+        flat = []
+        for chain in chains:
+            mip_table.append((len(flat), len(chain)))
+            flat.extend(chain)
+        order = sorted(range(len(flat)), key=lambda i: -flat[i].shape[0])
+        atlas_w = max(2048, max(img.shape[1] for img in flat))
+        rects = [None] * len(flat)
         x = y = shelf_h = 0
         for i in order:
-            img = self._atlas_images[i]
+            img = flat[i]
             h, w = img.shape[:2]
             if x + w > atlas_w:
                 y += shelf_h
@@ -203,10 +230,14 @@ class SceneCompiler:
             shelf_h = max(shelf_h, h)
         atlas_h = y + shelf_h
         atlas = np.zeros((atlas_h, atlas_w, 4), np.float32)
-        for i, img in enumerate(self._atlas_images):
+        for i, img in enumerate(flat):
             rx, ry, w, h = rects[i]
             atlas[ry : ry + h, rx : rx + w] = img
-        return atlas, np.asarray(rects, np.int32)
+        return (
+            atlas,
+            np.asarray(rects, np.int32),
+            np.asarray(mip_table, np.int32),
+        )
 
     def compile_texture(self, node) -> int:
         if node is None:
@@ -559,9 +590,10 @@ class SceneCompiler:
         if has_env and hasattr(env, "device_arrays"):
             arrays["environment"] = env.device_arrays()
 
-        atlas, atlas_rects = self._pack_atlas()
+        atlas, atlas_rects, atlas_mips = self._pack_atlas()
         arrays["texture_atlas"] = jnp.asarray(atlas)
         arrays["texture_atlas_rects"] = jnp.asarray(atlas_rects)
+        arrays["texture_atlas_mips"] = jnp.asarray(atlas_mips)
         grids, grid_dims = self._pack_density_grids()
         arrays["density_grids"] = jnp.asarray(grids)
         arrays["density_grid_dims"] = jnp.asarray(grid_dims)

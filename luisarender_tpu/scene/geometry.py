@@ -32,6 +32,8 @@ from ..core.types import Hit, Interaction
 #         the mapping is degenerate — geometry.cpp:345-389)
 #   31    instance id (exact float; instance count << 2^24)
 #   32    valid flag (0 = padding slot)
+#   33    uv density: sqrt(uv-area / world-area) — converts a world-space
+#         ray-cone width into a uv-space texture footprint (mip LOD)
 SHADE_COLS = 40
 
 
@@ -103,13 +105,23 @@ def build_shade_table(
     table[:, 28:31] = tangent.astype(np.float32)
     table[:, 31] = tri_inst[orig].astype(np.float32)
     table[:, 32] = (prim_index >= 0).astype(np.float32)
+    uv_area = 0.5 * np.abs(det)
+    table[:, 33] = np.sqrt(
+        uv_area / np.maximum(prim_area, 1e-20)
+    ).astype(np.float32)
     return table
 
 
-def surface_interaction(arrays, hit: Hit, ray, needs_uv: bool = True) -> Interaction:
+def surface_interaction(
+    arrays, hit: Hit, ray, needs_uv: bool = True, cone_width=None
+) -> Interaction:
     """Reconstruct the shading interaction from a Hit: one packed row gather
     (shade table, slot-indexed) + barycentric interpolation. needs_uv is kept
-    for API compatibility; the packed row carries uv at no extra fetch cost."""
+    for API compatibility; the packed row carries uv at no extra fetch cost.
+
+    cone_width: optional (...,) world-space ray-cone diameter at the hit
+    (integrators/common.py ray-cone tracking); converted to a uv-space
+    texture footprint via the per-triangle uv density."""
     slot = jnp.maximum(hit.prim, 0)
     row = fetch_rows(arrays["trace"]["shade_table"], slot)
     valid = (hit.prim >= 0) & (row[..., 32] > 0.0)
@@ -147,6 +159,9 @@ def surface_interaction(arrays, hit: Hit, ray, needs_uv: bool = True) -> Interac
 
     wo = -ray.direction
     back_facing = fr.dot(wo, ng) < 0.0
+    footprint = None
+    if cone_width is not None:
+        footprint = cone_width * row[..., 33]
     return Interaction(
         valid=valid,
         inst=jnp.where(valid, inst, -1),
@@ -158,4 +173,5 @@ def surface_interaction(arrays, hit: Hit, ray, needs_uv: bool = True) -> Interac
         uv=uv,
         prim_area=prim_area,
         back_facing=back_facing,
+        footprint=footprint,
     )

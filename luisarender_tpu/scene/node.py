@@ -160,6 +160,21 @@ class SceneNodeDesc:
         v = self._scalar(name, (str,), str)
         return self._ret(name, v, default)
 
+    def path(self, name, default=None):
+        """Like string(), but resolves a relative INPUT path against the
+        directory of the scene source this node was parsed from (the sdl
+        path-property semantics — scene files reference meshes/textures
+        relative to themselves). Output paths (camera 'file') stay raw."""
+        v = self.string(name, default)
+        if v is None:
+            return v
+        from pathlib import Path
+
+        p = Path(v)
+        if p.is_absolute() or not self.source or self.source.startswith("<"):
+            return v
+        return str(Path(self.source).parent / p)
+
     def float2(self, name, default=None):
         return self._ret(name, self._vector(name, 2, (int, float, bool), float), default)
 

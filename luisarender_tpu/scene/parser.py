@@ -97,7 +97,9 @@ def parse_scene_file(path, macros: Optional[dict[str, str]] = None) -> SceneDesc
 def parse_scene_dict(data: dict, base_dir=".") -> SceneDesc:
     """Parse an in-memory dict in the JSON SDL schema (for tests / Python API)."""
     desc = SceneDesc()
-    _parse_root(desc, data, Path(base_dir), source="<dict>")
+    # encode base_dir into the source string so relative "file" properties
+    # resolve against it (Path(source).parent == base_dir)
+    _parse_root(desc, data, Path(base_dir), source=str(Path(base_dir) / "<dict>"))
     desc.validate()
     return desc
 

@@ -60,7 +60,7 @@ class ObjMesh(Shape):
 
     def __init__(self, scene, desc):
         super().__init__(scene, desc)
-        path = desc.string("file", None)
+        path = desc.path("file", None)
         if path is None:
             raise ValueError("mesh shape requires 'file'")
         self.flip_uv = desc.bool("flip_uv", False)

@@ -20,7 +20,7 @@ class LoopSubdivShape(Shape):
     def __init__(self, scene, desc):
         super().__init__(scene, desc)
         self.level = min(max(desc.int("level", 1), 0), 6)
-        path = desc.string("file", None)
+        path = desc.path("file", None)
         if path is not None:
             p, t, _, _ = load_obj(path)
         else:

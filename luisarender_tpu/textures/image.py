@@ -8,8 +8,9 @@ manual bilinear with border clamping inside the rectangle (the gather-based
 analogue of `bindless_tex2d.sample`). LDR files are sRGB-decoded to linear at
 load (the reference decodes after filtering and calls it an approximation,
 image.cpp:139-145; decoding before filtering is the more correct variant).
-Mipmaps are intentionally not built (stubbed in the reference too,
-image.cpp:187-197 — "don't over-build this").
+Full 2x box mip chains are packed alongside the base levels (the reference
+declares but STUBS mip generation and LOD selection, image.cpp:166,187-197);
+LOD comes from ray-cone footprints (Interaction.footprint, trilinear blend).
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ _IMAGE_CACHE: dict = {}
 class ImageTexture(Texture):
     def __init__(self, scene, desc):
         super().__init__(scene, desc)
-        path = desc.string("file", None)
+        path = desc.path("file", None)
         if path is None:
             raise ValueError("image texture requires 'file'")
         encoding = desc.string("encoding", None)
@@ -94,30 +95,10 @@ class ImageTexture(Texture):
         )
 
     @staticmethod
-    def evaluate_rows(ctx, index, it):
-        rows = ctx.arrays["textures"]["image"]
-        rects = ctx.arrays["texture_atlas_rects"]  # (n_images, 4) x,y,w,h
-        atlas = ctx.arrays["texture_atlas"]  # (H, W, 4)
-        r = {k: v[index] for k, v in rows.items()}
-        from ..texturemappings.impls import apply_mapping
-
-        uv = apply_mapping(r["mapping_type"], r["mapping_params"], it)
-        uv = uv * r["uv_scale"] + r["uv_offset"]
-        rect = rects[r["image_id"]]
+    def _bilinear(atlas, rect, u, v):
+        """Bilinear inside the atlas rect with edge clamping (no bleed)."""
         w = rect[..., 2].astype(jnp.float32)
         h = rect[..., 3].astype(jnp.float32)
-        u, v = uv[..., 0], uv[..., 1]
-
-        def wrap_coord(x, mode):
-            rep = x % 1.0
-            clp = jnp.clip(x, 0.0, 1.0)
-            mir = 1.0 - jnp.abs((x % 2.0) - 1.0)
-            return jnp.where(mode == WRAP_REPEAT, rep,
-                             jnp.where(mode == WRAP_CLAMP, clp, mir))
-
-        u = wrap_coord(u, r["wrap"])
-        v = wrap_coord(v, r["wrap"])
-        # bilinear inside the atlas rect with edge clamping (no bleed)
         x = u * w - 0.5
         y = v * h - 0.5
         x0 = jnp.floor(x)
@@ -132,10 +113,58 @@ class ImageTexture(Texture):
 
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-        val = (
+        return (
             fetch(x0i, y0i) * (1 - fx) * (1 - fy)
             + fetch(x0i + 1, y0i) * fx * (1 - fy)
             + fetch(x0i, y0i + 1) * (1 - fx) * fy
             + fetch(x0i + 1, y0i + 1) * fx * fy
         )
-        return val * r["scale"]
+
+    @staticmethod
+    def evaluate_rows(ctx, index, it):
+        rows = ctx.arrays["textures"]["image"]
+        rects = ctx.arrays["texture_atlas_rects"]  # (n_levels, 4) x,y,w,h
+        mips = ctx.arrays["texture_atlas_mips"]  # (n_images, 2) offset,count
+        atlas = ctx.arrays["texture_atlas"]  # (H, W, 4)
+        r = {k: v[index] for k, v in rows.items()}
+        from ..texturemappings.impls import apply_mapping
+
+        uv = apply_mapping(r["mapping_type"], r["mapping_params"], it)
+        uv = uv * r["uv_scale"] + r["uv_offset"]
+        u, v = uv[..., 0], uv[..., 1]
+
+        def wrap_coord(x, mode):
+            rep = x % 1.0
+            clp = jnp.clip(x, 0.0, 1.0)
+            mir = 1.0 - jnp.abs((x % 2.0) - 1.0)
+            return jnp.where(mode == WRAP_REPEAT, rep,
+                             jnp.where(mode == WRAP_CLAMP, clp, mir))
+
+        u = wrap_coord(u, r["wrap"])
+        v = wrap_coord(v, r["wrap"])
+
+        mip = mips[r["image_id"]]
+        base = mip[..., 0]
+        n_levels = mip[..., 1]
+        base_rect = rects[base]
+        if it.footprint is None:
+            return (
+                ImageTexture._bilinear(atlas, base_rect, u, v) * r["scale"]
+            )
+        # trilinear mip LOD from the ray-cone uv footprint (the reference
+        # stubs LOD selection, image.cpp:166; ray cones are the standard
+        # real-time-RT replacement for ray differentials)
+        foot_u = it.footprint * jnp.abs(r["uv_scale"][..., 0])
+        foot_v = it.footprint * jnp.abs(r["uv_scale"][..., 1])
+        texels = jnp.maximum(
+            foot_u * base_rect[..., 2].astype(jnp.float32),
+            foot_v * base_rect[..., 3].astype(jnp.float32),
+        )
+        lod = jnp.log2(jnp.maximum(texels, 1e-8))
+        lod = jnp.clip(lod, 0.0, n_levels.astype(jnp.float32) - 1.0)
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n_levels - 1)
+        fl = (lod - l0.astype(jnp.float32))[..., None]
+        v0 = ImageTexture._bilinear(atlas, rects[base + l0], u, v)
+        v1 = ImageTexture._bilinear(atlas, rects[base + l1], u, v)
+        return (v0 * (1.0 - fl) + v1 * fl) * r["scale"]

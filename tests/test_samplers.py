@@ -48,7 +48,7 @@ class TestSobolCore:
 
 
 @pytest.mark.parametrize(
-    "impl", ["paddedsobol", "zsobol", "pmj02bn", "tileshared"]
+    "impl", ["paddedsobol", "sobol", "zsobol", "pmj02bn", "tileshared"]
 )
 class TestLDSSamplers:
     def test_uniform_and_decorrelated(self, impl):
@@ -89,6 +89,59 @@ class TestLDSSamplers:
         img = lr.render(lr.Scene.from_dict(d))["cornell.exr"]
         assert np.isfinite(img).all()
         assert img.mean() > 0.02
+
+
+class TestSobolMatrices:
+    def test_known_primitive_polynomials(self):
+        from luisarender_tpu.core.sobolgen import _is_primitive
+
+        # degree 3: exactly x^3+x+1 (0b1011) and x^3+x^2+1 (0b1101)
+        assert _is_primitive(0b1011, 3)
+        assert _is_primitive(0b1101, 3)
+        assert not _is_primitive(0b1111, 3)  # x^3+x^2+x+1 = (x+1)(x^2+1)
+        assert not _is_primitive(0b1001, 3)  # x^3+1 reducible
+        # degree 4: x^4+x+1 primitive; x^4+x^3+x^2+x+1 irreducible NOT
+        # primitive (order 5)
+        assert _is_primitive(0b10011, 4)
+        assert not _is_primitive(0b11111, 4)
+
+    def test_every_dimension_is_a_01_sequence(self):
+        """Validity of generated direction numbers: for EVERY dimension, the
+        first 2^k points must occupy all 2^k intervals — the defining
+        property of a Sobol (0,1)-sequence in base 2, which holds iff the
+        direction matrix is nonsingular (i.e. m_i odd and recurrence
+        correct)."""
+        from luisarender_tpu.core.sobolgen import sobol_matrices
+
+        v = sobol_matrices(256).astype(np.uint64)  # (D, 32)
+        for k in (3, 6):
+            n = 1 << k
+            idx = np.arange(n, dtype=np.uint64)
+            # x_j(i) = XOR of v[j, b] over set bits b of i
+            x = np.zeros((v.shape[0], n), np.uint64)
+            for b in range(k):
+                bit = (idx >> np.uint64(b)) & np.uint64(1)
+                x ^= np.outer(v[:, b], bit).astype(np.uint64)
+            strata = (x >> np.uint64(32 - k)).astype(np.int64)
+            # each dimension hits every stratum exactly once
+            counts = np.apply_along_axis(np.bincount, 1, strata, minlength=n)
+            assert (counts == 1).all()
+
+    def test_first_two_dims_match_classic(self):
+        from luisarender_tpu.core.sobolgen import sobol_matrices
+
+        v = sobol_matrices(256)
+        # dim 0 = van der Corput (identity): v[0][i] = 2^(31-i)
+        np.testing.assert_array_equal(
+            v[0], np.asarray([1 << (31 - i) for i in range(32)], np.uint32)
+        )
+        # dim 1 = Pascal recurrence v_i = v_{i-1} ^ (v_{i-1} >> 1), m_1 = 1
+        expect = np.zeros(32, np.uint32)
+        cur = np.uint32(1 << 31)
+        for i in range(32):
+            expect[i] = cur
+            cur = np.uint32(cur ^ (cur >> np.uint32(1)))
+        np.testing.assert_array_equal(v[1], expect)
 
 
 class TestVarianceReduction:

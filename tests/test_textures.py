@@ -98,10 +98,45 @@ class TestImageTexture:
         )
         scene = lr.Scene.from_dict(d)
         compiled = lr.compile_scene(scene)
-        assert compiled.arrays["texture_atlas_rects"].shape[0] == 2
+        # rects are per mip LEVEL; the mip table maps image -> (offset, count)
+        mips = np.asarray(compiled.arrays["texture_atlas_mips"])
+        assert mips.shape[0] == 2
+        rects = np.asarray(compiled.arrays["texture_atlas_rects"])
+        assert rects.shape[0] == mips[:, 1].sum()
+        # base level of image 0 is full size; last level is 1x1
+        assert (rects[mips[0, 0], 2:] >= rects[mips[0, 0] + 1, 2:]).all()
+        assert (rects[mips[0, 0] + mips[0, 1] - 1, 2:] == 1).all()
         out = scene.integrator.render(compiled)["tex.exr"]
         center = out[16, 16]
         assert center[0] > 0.5 and center[1] < 0.2  # red texture visible
+
+
+class TestMipLOD:
+    def test_minified_checker_converges_to_gray(self, tmp_path):
+        """Ray-cone LOD: a 128x128 checker viewed at ~32x minification must
+        sample high mip levels and read ~0.5 gray even at 1 spp. Without
+        mips every sample is a hard 0 or 1 (high variance)."""
+        n = 128
+        yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        checker = ((xx + yy) % 2).astype(np.float32)
+        img = np.repeat(checker[..., None], 3, axis=-1)
+        p = tmp_path / "checker.exr"
+        imageio.save_image(str(p), img)
+        # emissive quad: camera reads the texture value directly (no MC
+        # lighting noise), so 1 spp isolates the texture filter itself
+        d = _plane_scene(
+            tmp_path, {"impl": "constant", "prop": {"v": [1, 1, 1]}}, res=8, spp=1
+        )
+        shape = d["render"]["shapes"][0]
+        shape["prop"]["light"] = {
+            "impl": "diffuse",
+            "prop": {"emission": {"impl": "image", "prop": {"file": str(p)}}},
+        }
+        del d["render"]["environment"]
+        out = lr.render(lr.Scene.from_dict(d))["tex.exr"]
+        center = out[2:6, 2:6].mean(-1)
+        # each 8-res pixel covers ~16 texels -> mip blend ~= mean 0.5
+        assert np.all(np.abs(center - 0.5) < 0.2), center
 
 
 class TestProceduralTextures:
