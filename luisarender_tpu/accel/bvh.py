@@ -78,6 +78,17 @@ def build_bvh(
     v2 = positions[triangles[:, 2]]
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
+    return build_bvh_boxes(tri_min, tri_max, leaf_size)
+
+
+def build_bvh_boxes(
+    tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int = 4
+) -> BVHArrays:
+    """Build over arbitrary primitive AABBs — shared by the triangle BVH
+    (BLAS) and the instance-level TLAS (accel/twolevel.py)."""
+    tri_min = np.asarray(tri_min, np.float32)
+    tri_max = np.asarray(tri_max, np.float32)
+    t = tri_min.shape[0]
     centroid = (tri_min + tri_max) * 0.5
 
     scene_min = centroid.min(axis=0)

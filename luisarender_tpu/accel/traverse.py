@@ -302,7 +302,11 @@ def _use_pallas_brute(geom) -> bool:
     )
 
 
-def trace_closest(geom: TraceGeometry, rays) -> Hit:
+def trace_closest(geom, rays) -> Hit:
+    from . import twolevel
+
+    if isinstance(geom, twolevel.TraceGeometry2L):
+        return twolevel.trace_closest_2l(geom, rays)
     if geom.num_tris <= BRUTE_FORCE_MAX_TRIS:
         if _use_pallas_brute(geom):
             from ..ops import brute_pallas
@@ -312,8 +316,12 @@ def trace_closest(geom: TraceGeometry, rays) -> Hit:
     return trace_closest_bvh(geom, rays)
 
 
-def trace_any(geom: TraceGeometry, rays):
+def trace_any(geom, rays):
     """Shadow-ray occlusion test; returns bool occluded per ray."""
+    from . import twolevel
+
+    if isinstance(geom, twolevel.TraceGeometry2L):
+        return twolevel.trace_any_2l(geom, rays)
     if geom.num_tris <= BRUTE_FORCE_MAX_TRIS:
         if _use_pallas_brute(geom):
             from ..ops import brute_pallas

@@ -59,6 +59,7 @@ class ScenePlan:
     needs_uv: bool = True  # any uv-dependent texture / normal map present
     all_opaque: bool = True  # no shadow-transparent geometry (enables the
     # fused closest+shadow trace in integrators/common.bounce_step)
+    two_level: bool = False  # TLAS + shared per-mesh BLAS (accel/twolevel.py)
 
 
 class ShadingContext:
@@ -89,8 +90,32 @@ class CompiledScene:
             environment=env,
         )
 
-    def trace_geometry(self, arrays=None) -> TraceGeometry:
-        a = (arrays if arrays is not None else self.arrays)["trace"]
+    def trace_geometry(self, arrays=None):
+        src = arrays if arrays is not None else self.arrays
+        if self.plan.two_level:
+            from ..accel.twolevel import TraceGeometry2L
+
+            t2 = src["trace2"]
+            return TraceGeometry2L(
+                tlas_aabb_min=t2["tlas_aabb_min"],
+                tlas_aabb_max=t2["tlas_aabb_max"],
+                tlas_skip=t2["tlas_skip"],
+                tlas_inst=t2["tlas_inst"],
+                tlas_leaf=t2["tlas_leaf"],
+                blas_aabb_min=t2["blas_aabb_min"],
+                blas_aabb_max=t2["blas_aabb_max"],
+                blas_skip=t2["blas_skip"],
+                blas_first=t2["blas_first"],
+                blas_count=t2["blas_count"],
+                tri_v0=t2["tri_v0"],
+                tri_e1=t2["tri_e1"],
+                tri_e2=t2["tri_e2"],
+                tri_valid=t2["tri_valid"],
+                inst_rows=t2["inst_rows"],
+                leaf_size=self.plan.bvh_leaf_size,
+                num_tris=self.plan.num_tris,
+            )
+        a = src["trace"]
         return TraceGeometry(
             tri_v0=a["tri_v0"],
             tri_e1=a["tri_e1"],
@@ -288,6 +313,114 @@ class SceneCompiler:
         return self._medium_cache[key]
 
     # ---- geometry flattening (geometry.cpp:29-163 _process_shape) ----
+    def _build_two_level(
+        self, unique_meshes, inst_mesh_ids, inst_matrices, inst_blocks,
+        inst_visible,
+    ):
+        """TLAS + concatenated per-mesh BLAS device arrays (accel/twolevel.py
+        layout). Returns ({jnp arrays}, leaf_size)."""
+        from ..accel.bvh import build_bvh_boxes
+        from ..accel.twolevel import INST_COLS
+        from .geometry import build_shade_table_object
+
+        blas_min, blas_max, blas_skip = [], [], []
+        blas_first, blas_count = [], []
+        tri_v0, tri_e1, tri_e2, tri_valid = [], [], [], []
+        shade_rows = []
+        node_off = prim_off = 0
+        mesh_info = []  # (node_off, prim_off, root_aabb_min, root_aabb_max)
+        leaf_size = None
+        for mesh in unique_meshes.values():
+            pos = mesh.positions.astype(np.float32)
+            tris = mesh.triangles.astype(np.int32)
+            bvh = build_bvh_sah(pos, tris) or build_bvh(pos, tris)
+            if leaf_size is None:
+                leaf_size = int(bvh.leaf_size)
+            assert int(bvh.leaf_size) == leaf_size
+            sorted_tris = tris[np.maximum(bvh.prim_index, 0)]
+            v0 = pos[sorted_tris[:, 0]]
+            v1 = pos[sorted_tris[:, 1]]
+            v2 = pos[sorted_tris[:, 2]]
+            blas_min.append(bvh.aabb_min)
+            blas_max.append(bvh.aabb_max)
+            blas_skip.append(bvh.skip)  # local, -1 = leave this BLAS
+            blas_first.append(bvh.node_first)
+            blas_count.append(bvh.node_count)
+            tri_v0.append(v0)
+            tri_e1.append(v1 - v0)
+            tri_e2.append(v2 - v0)
+            tri_valid.append(bvh.prim_index >= 0)
+            if mesh.normals is not None:
+                nrm = mesh.normals.astype(np.float32)
+            else:
+                nrm = compute_vertex_normals(pos, tris)
+            uv = (
+                mesh.uvs.astype(np.float32)
+                if mesh.uvs is not None
+                else np.zeros((pos.shape[0], 2), np.float32)
+            )
+            shade_rows.append(
+                build_shade_table_object(pos, nrm, uv, tris, bvh.prim_index)
+            )
+            mesh_info.append(
+                (node_off, prim_off, bvh.aabb_min[0], bvh.aabb_max[0])
+            )
+            node_off += bvh.aabb_min.shape[0]
+            prim_off += bvh.prim_index.shape[0]
+
+        n_inst = len(inst_mesh_ids)
+        rows = np.zeros((n_inst, INST_COLS), np.float32)
+        imin = np.zeros((n_inst, 3), np.float32)
+        imax = np.zeros((n_inst, 3), np.float32)
+        for i, (mesh_i, m) in enumerate(zip(inst_mesh_ids, inst_matrices)):
+            w2o = np.linalg.inv(m)
+            rows[i, 0:12] = w2o[:3, :4].reshape(-1)
+            rows[i, 12:24] = np.asarray(m, np.float64)[:3, :4].reshape(-1)
+            n_off, p_off, bmin, bmax = mesh_info[mesh_i]
+            rows[i, 24] = n_off
+            rows[i, 25] = p_off
+            rows[i, 26] = 1.0 if inst_blocks[i] else 0.0
+            rows[i, 27] = inst_visible[i]
+            # world AABB: transform the 8 BLAS-root corners
+            cs = np.array(
+                [
+                    [x, y, z]
+                    for x in (bmin[0], bmax[0])
+                    for y in (bmin[1], bmax[1])
+                    for z in (bmin[2], bmax[2])
+                ]
+            )
+            cw = cs @ np.asarray(m)[:3, :3].T + np.asarray(m)[:3, 3]
+            imin[i] = cw.min(axis=0)
+            imax[i] = cw.max(axis=0)
+
+        tlas = build_bvh_boxes(imin, imax, leaf_size=1)
+        # leaves hold exactly one instance: map node_first -> instance id
+        tlas_inst = np.full(tlas.node_first.shape[0], -1, np.int32)
+        leaf_mask = tlas.node_count > 0
+        slots = np.maximum(tlas.node_first[leaf_mask], 0)
+        ids = tlas.prim_index[slots]
+        tlas_inst[leaf_mask] = ids
+        trace2 = {
+            "tlas_aabb_min": jnp.asarray(tlas.aabb_min),
+            "tlas_aabb_max": jnp.asarray(tlas.aabb_max),
+            "tlas_skip": jnp.asarray(tlas.skip),
+            "tlas_inst": jnp.asarray(tlas_inst),
+            "tlas_leaf": jnp.asarray(tlas.node_count > 0),
+            "blas_aabb_min": jnp.asarray(np.concatenate(blas_min)),
+            "blas_aabb_max": jnp.asarray(np.concatenate(blas_max)),
+            "blas_skip": jnp.asarray(np.concatenate(blas_skip)),
+            "blas_first": jnp.asarray(np.concatenate(blas_first)),
+            "blas_count": jnp.asarray(np.concatenate(blas_count)),
+            "tri_v0": jnp.asarray(np.concatenate(tri_v0)),
+            "tri_e1": jnp.asarray(np.concatenate(tri_e1)),
+            "tri_e2": jnp.asarray(np.concatenate(tri_e2)),
+            "tri_valid": jnp.asarray(np.concatenate(tri_valid)),
+            "inst_rows": jnp.asarray(rows),
+            "shade_rows": jnp.asarray(np.concatenate(shade_rows)),
+        }
+        return trace2, leaf_size
+
     def _walk_shapes(self, time: float):
         """Yield (shape, world_matrix) for every mesh instance."""
         out = []
@@ -314,6 +447,28 @@ class SceneCompiler:
         instances = self._walk_shapes(time)
         if not instances:
             raise ValueError("scene contains no mesh instances")
+
+        # acceleration mode (scene 'accel' setting): flatten instances into
+        # one world-space BVH (default — coherent single-level walk), or a
+        # TLAS over shared per-mesh BLASes when instancing would blow up the
+        # flattened footprint (the reference's Accel/Mesh split,
+        # base/geometry.cpp:16,62-67)
+        unique_meshes: dict = {}
+        flat_tris = 0
+        for shape, *_ in instances:
+            mesh = shape.mesh()
+            unique_meshes.setdefault(id(mesh), mesh)
+            flat_tris += mesh.triangles.shape[0]
+        uniq_tris = sum(
+            m.triangles.shape[0] for m in unique_meshes.values()
+        )
+        accel_mode = getattr(self.scene, "accel", "auto")
+        if accel_mode == "twolevel":
+            two_level = True
+        elif accel_mode == "flat":
+            two_level = False
+        else:
+            two_level = flat_tris > 4 * uniq_tris and flat_tris > 100_000
 
         all_p, all_n, all_uv, all_t, all_ti = [], [], [], [], []
         inst_rows = {
@@ -347,10 +502,15 @@ class SceneCompiler:
 
         v_off = 0
         t_off = 0
+        inst_mesh_ids: list = []  # two-level: unique-mesh index per instance
+        inst_matrices: list = []  # two-level: 4x4 world matrices
+        mesh_index = {mid: i for i, mid in enumerate(unique_meshes)}
         for inst_id, (shape, m, surface, light, medium, visible) in enumerate(
             instances
         ):
             mesh = shape.mesh()
+            inst_mesh_ids.append(mesh_index[id(mesh)])
+            inst_matrices.append(np.asarray(m, np.float64))
             p = mesh.positions.astype(np.float64)
             pw = (p @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
             tris = mesh.triangles.astype(np.int32)
@@ -472,22 +632,35 @@ class SceneCompiler:
         else:
             env_medium_ref = None
 
-        # BVH (always built; brute force is chosen at trace time for tiny
-        # scenes, traverse.py BRUTE_FORCE_MAX_TRIS)
-        # native binned-SAH build preferred; numpy Morton fallback
-        bvh = build_bvh_sah(vertex_p, triangles) or build_bvh(vertex_p, triangles)
-        sorted_tris = triangles[np.maximum(bvh.prim_index, 0)]
-        tv0 = vertex_p[sorted_tris[:, 0]]
-        tv1 = vertex_p[sorted_tris[:, 1]]
-        tv2 = vertex_p[sorted_tris[:, 2]]
         # shadow blockers: anything with a surface or a light; null-surface
         # medium boundaries are shadow-transparent
         inst_blocks = (
             np.asarray(inst_rows["surface_tag"]) >= 0
         ) | (np.asarray(inst_rows["light_tag"]) >= 0)
-        tri_opaque_sorted = inst_blocks[
-            tri_inst[np.maximum(bvh.prim_index, 0)]
-        ] & (bvh.prim_index >= 0)
+        inst_visible = np.asarray(
+            [1.0 if v else 0.0 for (_, _, _, _, _, v) in instances], np.float32
+        )
+
+        if not two_level:
+            # single flattened world-space BVH (brute force is chosen at
+            # trace time for tiny scenes, traverse.py BRUTE_FORCE_MAX_TRIS);
+            # native binned-SAH build preferred, numpy Morton fallback
+            bvh = build_bvh_sah(vertex_p, triangles) or build_bvh(
+                vertex_p, triangles
+            )
+            sorted_tris = triangles[np.maximum(bvh.prim_index, 0)]
+            tv0 = vertex_p[sorted_tris[:, 0]]
+            tv1 = vertex_p[sorted_tris[:, 1]]
+            tv2 = vertex_p[sorted_tris[:, 2]]
+            tri_opaque_sorted = inst_blocks[
+                tri_inst[np.maximum(bvh.prim_index, 0)]
+            ] & (bvh.prim_index >= 0)
+            bvh_leaf_size = int(bvh.leaf_size)
+        else:
+            trace2, bvh_leaf_size = self._build_two_level(
+                unique_meshes, inst_mesh_ids, inst_matrices, inst_blocks,
+                inst_visible,
+            )
 
         world_min = vertex_p.min(axis=0)
         world_max = vertex_p.max(axis=0)
@@ -583,10 +756,14 @@ class SceneCompiler:
                         bvh.prim_index,
                     )
                 ),
-            },
+            }
+            if not two_level
+            else {},
             "world_min": jnp.asarray(world_min),
             "world_max": jnp.asarray(world_max),
         }
+        if two_level:
+            arrays["trace2"] = trace2
         if has_env and hasattr(env, "device_arrays"):
             arrays["environment"] = env.device_arrays()
 
@@ -623,7 +800,8 @@ class SceneCompiler:
             any_normal_maps=any_nm,
             any_alpha=any_alpha,
             use_bvh=num_tris > BRUTE_FORCE_MAX_TRIS,
-            bvh_leaf_size=int(bvh.leaf_size),
+            bvh_leaf_size=bvh_leaf_size,
+            two_level=two_level,
             spectral_dim=self.spectrum.dimension,
             medium_types=tuple(self._medium_types),
             has_media=bool(self._medium_types),

@@ -112,6 +112,108 @@ def build_shade_table(
     return table
 
 
+def build_shade_table_object(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    triangles: np.ndarray,
+    prim_index: np.ndarray,
+) -> np.ndarray:
+    """OBJECT-space shade table for the two-level path (accel/twolevel.py):
+    same layout as build_shade_table but per unique mesh, untransformed;
+    col 31 is unused (instance comes from the Hit), col 33 stores the raw
+    UV-space triangle area (world area is instance-dependent and computed at
+    runtime from the transformed edges)."""
+    table = build_shade_table(
+        positions,
+        normals,
+        uvs,
+        triangles,
+        np.zeros(triangles.shape[0], np.int32),
+        prim_index,
+    )
+    orig = np.maximum(prim_index, 0)
+    tris = triangles[orig]
+    uv0 = uvs[tris[:, 0]].astype(np.float32)
+    duv1 = uvs[tris[:, 1]].astype(np.float32) - uv0
+    duv2 = uvs[tris[:, 2]].astype(np.float32) - uv0
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    table[:, 33] = (0.5 * np.abs(det)).astype(np.float32)
+    return table
+
+
+def surface_interaction_2l(
+    arrays, hit: Hit, ray, needs_uv: bool = True, cone_width=None
+) -> Interaction:
+    """Two-level interaction reconstruction: object-space shade row + the
+    instance's object-to-world transform (accel/twolevel.py INST row layout:
+    cols 0:12 world-to-object, 12:24 object-to-world)."""
+    from ..accel.twolevel import _xform_normal, _xform_point, _xform_vector
+
+    t2 = arrays["trace2"]
+    slot = jnp.maximum(hit.prim, 0)
+    row = fetch_rows(t2["shade_rows"], slot)
+    irow = fetch_rows(t2["inst_rows"], jnp.maximum(hit.inst, 0))
+    valid = (hit.prim >= 0) & (hit.inst >= 0) & (row[..., 32] > 0.0)
+
+    u = hit.bary[..., 0]
+    v = hit.bary[..., 1]
+    w = 1.0 - u - v
+    p_obj = (
+        row[..., 0:3] + u[..., None] * row[..., 3:6] + v[..., None] * row[..., 6:9]
+    )
+    p = _xform_point(irow, 12, p_obj)
+    e1w = _xform_vector(irow, 12, row[..., 3:6])
+    e2w = _xform_vector(irow, 12, row[..., 6:9])
+    ng_raw = jnp.cross(e1w, e2w)
+    prim_area = 0.5 * fr.length(ng_raw)
+    ng = fr.normalize(ng_raw)
+
+    ns_obj = (
+        w[..., None] * row[..., 13:16]
+        + u[..., None] * row[..., 16:19]
+        + v[..., None] * row[..., 19:22]
+    )
+    # normals transform by the inverse transpose = transpose of cols 0:12
+    ns = fr.normalize(_xform_normal(irow, 0, ns_obj))
+    ns = jnp.where(
+        (fr.length(ns) > 0.5)[..., None]
+        & (jnp.isfinite(ns).all(axis=-1))[..., None],
+        ns,
+        ng,
+    )
+    ns = jnp.where(fr.dot(ns, ng)[..., None] < 0.0, -ns, ns)
+
+    uv = (
+        w[..., None] * row[..., 22:24]
+        + u[..., None] * row[..., 24:26]
+        + v[..., None] * row[..., 26:28]
+    )
+    tangent = _xform_vector(irow, 12, row[..., 28:31])
+
+    wo = -ray.direction
+    back_facing = fr.dot(wo, ng) < 0.0
+    footprint = None
+    if cone_width is not None:
+        uv_density = jnp.sqrt(
+            row[..., 33] / jnp.maximum(prim_area, 1e-20)
+        )
+        footprint = cone_width * uv_density
+    return Interaction(
+        valid=valid,
+        inst=jnp.where(valid, hit.inst, -1),
+        prim=hit.prim,
+        p=p,
+        ng=ng,
+        ns=ns,
+        tangent=tangent,
+        uv=uv,
+        prim_area=prim_area,
+        back_facing=back_facing,
+        footprint=footprint,
+    )
+
+
 def surface_interaction(
     arrays, hit: Hit, ray, needs_uv: bool = True, cone_width=None
 ) -> Interaction:
@@ -122,6 +224,10 @@ def surface_interaction(
     cone_width: optional (...,) world-space ray-cone diameter at the hit
     (integrators/common.py ray-cone tracking); converted to a uv-space
     texture footprint via the per-triangle uv density."""
+    if "trace2" in arrays:
+        return surface_interaction_2l(
+            arrays, hit, ray, needs_uv=needs_uv, cone_width=cone_width
+        )
     slot = jnp.maximum(hit.prim, 0)
     row = fetch_rows(arrays["trace"]["shade_table"], slot)
     valid = (hit.prim >= 0) & (row[..., 32] > 0.0)

@@ -39,6 +39,7 @@ class Scene:
         self._nodes: dict[int, SceneNode] = {}  # id(desc) -> node
         self.shadow_terminator: float = 0.0
         self.intersection_offset: float = 0.0
+        self.accel: str = "auto"
         self.spectrum = None
         self.integrator = None
         self.environment = None
@@ -130,6 +131,11 @@ class Scene:
         scene = cls()
         scene.shadow_terminator = root.float("shadow_terminator", 0.0)
         scene.intersection_offset = root.float("intersection_offset", 0.0)
+        # acceleration-structure mode: "flat" (instances flattened to world
+        # space, single BVH — default, fastest on TPU), "twolevel" (TLAS over
+        # shared per-mesh BLASes — the reference's Accel/Mesh split, for
+        # heavy instancing), or "auto" (compiler picks by duplication ratio)
+        scene.accel = root.string("accel", "auto").lower()
         spectrum_desc = root.node("spectrum")
         if spectrum_desc is None:
             spectrum_desc = SceneNodeDesc(

@@ -1,0 +1,131 @@
+"""Two-level TLAS/BLAS acceleration (accel/twolevel.py): hit parity with the
+flattened single-level path, and an end-to-end instanced render."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import luisarender_tpu as lr
+from luisarender_tpu.accel import traverse
+from luisarender_tpu.core.types import make_ray
+
+
+def _box_obj(tmp_path):
+    p = tmp_path / "box.obj"
+    verts = [
+        (-1, -1, -1), (1, -1, -1), (1, 1, -1), (-1, 1, -1),
+        (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1),
+    ]
+    faces = [
+        (1, 3, 2), (1, 4, 3), (5, 6, 7), (5, 7, 8),
+        (1, 2, 6), (1, 6, 5), (2, 3, 7), (2, 7, 6),
+        (3, 4, 8), (3, 8, 7), (4, 1, 5), (4, 5, 8),
+    ]
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += [f"f {a} {b} {c}" for a, b, c in faces]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def _instanced_scene(tmp_path, accel):
+    box = _box_obj(tmp_path)
+    white = {"impl": "matte", "prop": {"Kd": {"impl": "constant", "prop": {"v": [0.7, 0.7, 0.7]}}}}
+    shapes = []
+    for i, (tx, ty) in enumerate([(-3, 0), (0, 0), (3, 0), (0, 3)]):
+        shapes.append({
+            "impl": "mesh",
+            "prop": {
+                "file": box,
+                "surface": white,
+                "transform": {
+                    "impl": "srt",
+                    "prop": {
+                        "translate": [float(tx), float(ty), 0.0],
+                        "scale": [1.0, 1.0 + 0.2 * i, 1.0],
+                    },
+                },
+            },
+        })
+    # area light above
+    shapes.append({
+        "impl": "inlinemesh",
+        "prop": {
+            "positions": [-2, 6, -2, 2, 6, -2, 2, 6, 2, -2, 6, 2],
+            "indices": [0, 1, 2, 0, 2, 3],  # ng points down (-y)
+            "surface": white,
+            "light": {
+                "impl": "diffuse",
+                "prop": {"emission": {"impl": "constant", "prop": {"v": [10, 10, 10]}}},
+            },
+        },
+    })
+    return {
+        "render": {
+            "accel": accel,
+            "cameras": [{
+                "impl": "pinhole",
+                "prop": {
+                    "fov": 50.0, "spp": 16, "file": "out.exr",
+                    "film": {"impl": "color", "prop": {"resolution": [48, 48]}},
+                    "transform": {
+                        "impl": "view",
+                        "prop": {"origin": [0.0, 2.0, 12.0], "front": [0, -0.1, -1]},
+                    },
+                },
+            }],
+            "integrator": {"impl": "megapath", "prop": {"depth": 3}},
+            "shapes": shapes,
+        }
+    }
+
+
+class TestTwoLevel:
+    def test_trace_parity_with_flat(self, tmp_path):
+        flat = lr.compile_scene(lr.Scene.from_dict(_instanced_scene(tmp_path, "flat")))
+        two = lr.compile_scene(lr.Scene.from_dict(_instanced_scene(tmp_path, "twolevel")))
+        assert not flat.plan.two_level
+        assert two.plan.two_level
+        # shared BLAS: the two-level triangle pool holds ONE box + the light
+        n2 = two.arrays["trace2"]["tri_v0"].shape[0]
+        nf = flat.arrays["trace"]["tri_v0"].shape[0]
+        assert n2 < nf  # 12 + 2 unique vs 4*12 + 2 instanced
+
+        rs = np.random.RandomState(3)
+        o = rs.randn(4096, 3).astype(np.float32) * 0.5 + np.asarray(
+            [0, 2, 12], np.float32
+        )
+        d = rs.randn(4096, 3).astype(np.float32)
+        d[:, 2] -= 1.5  # bias toward the boxes
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = make_ray(jnp.asarray(o), jnp.asarray(d))
+        hf = traverse.trace_closest(flat.trace_geometry(), rays)
+        h2 = traverse.trace_closest(two.trace_geometry(), rays)
+        mf = np.asarray(hf.prim) >= 0
+        m2 = np.asarray(h2.prim) >= 0
+        np.testing.assert_array_equal(mf, m2)
+        np.testing.assert_allclose(
+            np.asarray(hf.t)[mf], np.asarray(h2.t)[mf], rtol=1e-3, atol=1e-4
+        )
+        # instance ids agree (same instance ordering in both modes)
+        np.testing.assert_array_equal(
+            np.asarray(hf.inst)[mf] >= 0, np.asarray(h2.inst)[m2] >= 0
+        )
+        # occlusion parity
+        sf = traverse.trace_any(flat.trace_geometry(), rays)
+        s2 = traverse.trace_any(two.trace_geometry(), rays)
+        np.testing.assert_array_equal(np.asarray(sf), np.asarray(s2))
+
+    def test_render_parity(self, tmp_path):
+        img_f = lr.render(lr.Scene.from_dict(_instanced_scene(tmp_path, "flat")))["out.exr"]
+        img_2 = lr.render(lr.Scene.from_dict(_instanced_scene(tmp_path, "twolevel")))["out.exr"]
+        a = np.asarray(img_f)
+        b = np.asarray(img_2)
+        assert np.isfinite(b).all()
+        # same sampler seeds -> near-identical images (fp-order differences)
+        assert np.abs(a - b).mean() < 5e-3, np.abs(a - b).mean()
+
+    def test_auto_threshold(self, tmp_path):
+        # small scenes stay flat under auto
+        d = _instanced_scene(tmp_path, "auto")
+        compiled = lr.compile_scene(lr.Scene.from_dict(d))
+        assert not compiled.plan.two_level
