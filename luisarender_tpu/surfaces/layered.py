@@ -9,11 +9,13 @@ this implements the deterministic two-lobe layered approximation —
 
 with T_in/T_out the directional Fresnel transmittances of the coat,
 A = exp(-sigma_t * thickness * (1/cos_i + 1/cos_o)) the interior absorption,
-and an energy-compensation term folding the first TIR bounce into the inner
-lobe. The estimator stays unbiased for the modeled f; the approximation
-relative to the reference is the truncation of multiple interreflections
-(PBRT's own non-stochastic fallback does the same). The inner surface is
-monomorphized per class like `mix` — any surface can be coated.
+and the FULL geometric series of coat/inner interreflections folded into the
+inner lobe in closed form (internal average Fresnel reflectance x inner
+spectral albedo x round-trip absorption) — the expectation of the
+reference's stochastic TIR walk, traded for zero estimator noise; the
+residual approximation is that interreflections use hemisphere-averaged
+rather than directional reflectances. The inner surface is monomorphized
+per class like `mix` — any surface can be coated.
 """
 
 from __future__ import annotations
@@ -71,7 +73,7 @@ def _monomorphized(inner_cls):
             return f, pdf, eta
 
         @staticmethod
-        def _transmittances(params, ctx, it, swl, wo_l, wi_l, eta):
+        def _transmittances(params, ctx, it, swl, wo_l, wi_l, eta, a_inner):
             cos_o = fr.abs_cos_theta(wo_l)
             cos_i = fr.abs_cos_theta(wi_l)
             t_o = 1.0 - mf.fresnel_dielectric(cos_o, jnp.ones_like(eta), eta)
@@ -91,11 +93,29 @@ def _monomorphized(inner_cls):
                 ]
                 * sigma
             )
-            # energy compensation: light trapped by TIR re-excites the inner
-            # lobe; approximate with the average Fresnel reflectance
-            f_avg = 1.0 - mf.fresnel_dielectric_integral(eta)
-            comp = 1.0 / jnp.maximum(1.0 - 0.5 * (1.0 - f_avg), 1e-3)
-            return (t_o * t_i * comp)[..., None] * a
+            # multiple-interreflection energy factor, closed form. With
+            # R_int the average internal Fresnel reflectance (reciprocity:
+            # R_int = 1 - (1 - F_avg)/eta^2), the true multiply-scattered
+            # exit fraction of inner-scattered energy is
+            #   a (1-R_int) / (1 - R_int a A^2),
+            # while the naive directional product T_in f_inner T_out
+            # hemisphere-integrates to a (1 - F_avg) = a eta^2 (1-R_int)
+            # (it ignores the eta^2 solid-angle compression of internal
+            # directions). The correction ratio is therefore
+            #   comp = 1 / (eta^2 (1 - R_int a A^2)),
+            # which reproduces the white-furnace limit exactly (a=1, A=1 ->
+            # everything that enters eventually exits) — the closed-form
+            # expectation of the reference's stochastic TIR walk
+            # (layered.cpp:14-110), traded for zero estimator noise.
+            # the Egan-Hilgeman fit IS the internal diffuse reflectance
+            # Fdr(eta) (~0.597 at eta=1.5)
+            r_int = mf.fresnel_dielectric_integral(eta)
+            eta2 = jnp.maximum(eta * eta, 1.0)
+            comp = 1.0 / (
+                eta2[..., None]
+                * jnp.maximum(1.0 - r_int[..., None] * a_inner * a * a, 0.05)
+            )
+            return (t_o * t_i)[..., None] * a * comp
 
         @staticmethod
         def evaluate(params, ctx, it, swl, wo, wi):
@@ -106,8 +126,9 @@ def _monomorphized(inner_cls):
             wi_l = fr.to_local(frame, wi)
             same = fr.same_hemisphere(wo_l, wi_l)
             f_c, pdf_c, eta = LayeredMono._coat(params, ctx, it, swl, wo_l, wi_l)
+            a_inner = LayeredMono.inner.albedo(inner_p, ctx, it, swl)
             trans = LayeredMono._transmittances(
-                params, ctx, it, swl, wo_l, wi_l, eta
+                params, ctx, it, swl, wo_l, wi_l, eta, a_inner
             )
             cos_i = fr.abs_cos_theta(wi_l)
             f_coat = jnp.where(same, f_c * cos_i, 0.0)[..., None]

@@ -387,6 +387,28 @@ class TestLayered:
         assert np.all(r <= 1.05), r
         assert r[0] > r[1], r  # tinted base shows through
 
+    def test_white_furnace_closed_form(self):
+        """The closed-form interreflection series (layered.py
+        _transmittances): a lossless white base under an absorption-free
+        coat must return ~all entering energy (the reference's stochastic
+        walk conserves this by construction)."""
+        layered = {
+            "impl": "layered",
+            "prop": {
+                "base": {
+                    "impl": "matte",
+                    "prop": {"Kd": {"impl": "constant", "prop": {"v": [1.0, 1.0, 1.0]}}},
+                },
+                "roughness": {"impl": "constant", "prop": {"v": [0.1]}},
+                "eta": {"impl": "constant", "prop": {"v": [1.5]}},
+            },
+        }
+        r, _ = sampled_reflectance(layered, _norm(WO), n=1 << 16)
+        # bounded by 1 (+MC noise); close to 1 up to the single-scatter GGX
+        # coat's own multiple-scattering loss
+        assert np.all(r <= 1.05), r
+        assert np.all(r >= 0.8), r
+
     def test_sample_eval_consistent(self):
         layered = {
             "impl": "layered",
