@@ -1,11 +1,13 @@
 """Metal surface: rough conductor with named spectral eta/k.
 
 TPU-native equivalent of /root/reference/src/surfaces/metal.cpp:41-315. The
-reference ships dense spectral n/k tables (metal_ior.inl.h); here we store
-n/k sampled at the three sRGB peak wavelengths (602.8/539.3/445.8 nm,
-util/spec.h:22-23) from the public Johnson & Christy / Rakic optical-constant
-datasets, which reproduces the visible appearance; spectral (hero) mode
-interpolates between the samples.
+reference ships dense spectral n/k tables (metal_ior.inl.h); here the noble
+metals evaluate a Lorentz-Drude oscillator model (Rakic et al. 1998
+parameters) directly at the sampled wavelengths — a closed-form dense
+spectral curve with no tables, exact at every hero wavelength — and the
+remaining named metals store n/k at the three sRGB peak wavelengths
+(602.8/539.3/445.8 nm, util/spec.h:22-23) from the Johnson & Christy
+dataset, interpolated in hero mode.
 """
 
 from __future__ import annotations
@@ -47,6 +49,64 @@ METAL_ALIASES = {
     "aluminum": "al", "chromium": "cr", "chrome": "cr", "nickel": "ni",
     "titanium": "ti", "iron": "fe", "vanadium": "v", "lithium": "li",
 }
+
+# Lorentz-Drude oscillator parameters (Rakic et al. 1998, Appl. Opt. 37),
+# giving dense-spectrum n/k as a closed form instead of shipped tables
+# (the reference vendors dense tables in surfaces/metal_ior.inl.h).
+# Layout: plasma frequency wp [eV], then 6 oscillators (f, Gamma [eV],
+# omega [eV]) with oscillator 0 the Drude (intraband) term at omega=0.
+# Unused oscillator slots have f=0.
+LD_OSC = 6
+METAL_LD = {
+    "au": {
+        "wp": 9.03,
+        "f": (0.760, 0.024, 0.010, 0.071, 0.601, 4.384),
+        "g": (0.053, 0.241, 0.345, 0.870, 2.494, 2.214),
+        "w": (0.000, 0.415, 0.830, 2.969, 4.304, 13.32),
+    },
+    "ag": {
+        "wp": 9.01,
+        "f": (0.845, 0.065, 0.124, 0.011, 0.840, 5.646),
+        "g": (0.048, 3.886, 0.452, 0.065, 0.916, 2.419),
+        "w": (0.000, 0.816, 4.481, 8.185, 9.083, 20.29),
+    },
+    "cu": {
+        "wp": 10.83,
+        "f": (0.575, 0.061, 0.104, 0.723, 0.638, 0.000),
+        "g": (0.030, 0.378, 1.056, 3.213, 4.305, 1.000),
+        "w": (0.000, 0.291, 2.957, 5.300, 11.18, 1.000),
+    },
+    "al": {
+        "wp": 14.98,
+        "f": (0.523, 0.227, 0.050, 0.166, 0.030, 0.000),
+        "g": (0.047, 0.333, 0.312, 1.351, 3.382, 1.000),
+        "w": (0.000, 0.162, 1.544, 1.808, 3.473, 1.000),
+    },
+}
+
+EV_NM = 1239.84193  # photon energy [eV] * wavelength [nm]
+
+
+def ld_eta_k(lam_nm, wp, f, g, w):
+    """Lorentz-Drude n, k at wavelengths lam_nm (..., C).
+
+    wp: (...,) or scalar; f/g/w: (..., LD_OSC). Unified form: every
+    oscillator contributes f_j wp^2 / ((w_j^2 - w^2) - i w Gamma_j); the
+    Drude term is oscillator 0 with w_0 = 0 (time convention e^{-iwt},
+    Im eps >= 0)."""
+    omega = EV_NM / jnp.maximum(lam_nm, 1e-3)  # (..., C) eV
+    wp2 = (jnp.asarray(wp) ** 2)[..., None, None]  # (..., 1, 1)
+    o = omega[..., None, :]  # (..., 1, C)
+    a = (jnp.asarray(w) ** 2)[..., :, None] - o * o  # (..., J, C)
+    b = o * jnp.asarray(g)[..., :, None]
+    d = jnp.maximum(a * a + b * b, 1e-12)
+    fj = jnp.asarray(f)[..., :, None]
+    eps_re = 1.0 + jnp.sum(fj * wp2 * a / d, axis=-2)
+    eps_im = jnp.sum(fj * wp2 * b / d, axis=-2)
+    mag = jnp.sqrt(eps_re * eps_re + eps_im * eps_im)
+    n = jnp.sqrt(jnp.maximum(0.5 * (mag + eps_re), 0.0))
+    k = jnp.sqrt(jnp.maximum(0.5 * (mag - eps_re), 0.0))
+    return n, k
 
 
 def metal_eta_k(name: str):
@@ -90,8 +150,11 @@ class MetalSurface(Surface):
         self.remap_roughness = desc.bool("remap_roughness", True)
         self.kd = scene.load_texture(desc.node("Kd"))
         eta_name = desc.string("eta", None) or desc.string("material", None)
+        self.ld = None
         if eta_name is not None:
             self.n3, self.k3 = metal_eta_k(eta_name)
+            key = METAL_ALIASES.get(eta_name.lower(), eta_name.lower())
+            self.ld = METAL_LD.get(key)
         else:
             n = desc.float3("n", (0.2, 0.92, 1.1))
             k = desc.float3("k", (3.9, 2.45, 2.14))
@@ -110,11 +173,24 @@ class MetalSurface(Surface):
         row["kd"] = np.int32(self.kd.compile(compiler) if self.kd else NULL_HANDLE)
         row["eta_n"] = self.n3
         row["eta_k"] = self.k3
+        ld = self.ld
+        row["ld_valid"] = np.float32(0.0 if ld is None else 1.0)
+        row["ld_wp"] = np.float32(ld["wp"] if ld else 1.0)
+        row["ld_f"] = np.asarray(ld["f"] if ld else (0.0,) * LD_OSC, np.float32)
+        row["ld_g"] = np.asarray(ld["g"] if ld else (1.0,) * LD_OSC, np.float32)
+        row["ld_w"] = np.asarray(ld["w"] if ld else (1.0,) * LD_OSC, np.float32)
         return row
 
     @staticmethod
     def _fresnel(params, ctx, swl, cos_i):
         n, k = eta_k_at_wavelengths(params["eta_n"], params["eta_k"], swl.lam)
+        n_ld, k_ld = ld_eta_k(
+            swl.lam, params["ld_wp"], params["ld_f"], params["ld_g"],
+            params["ld_w"],
+        )
+        use_ld = (params["ld_valid"] > 0.5)[..., None]
+        n = jnp.where(use_ld, n_ld, n)
+        k = jnp.where(use_ld, k_ld, k)
         return mf.fresnel_conductor(cos_i, n, k)
 
     @staticmethod

@@ -280,6 +280,49 @@ class TestMetal:
         with pytest.raises(KeyError):
             metal_eta_k("adamantium")
 
+    def test_lorentz_drude_matches_tabulated(self):
+        """The closed-form Lorentz-Drude curves must land near the Johnson
+        & Christy 3-point n/k values at the sRGB peak wavelengths (the two
+        datasets differ by up to ~40% pointwise in the interband region, so
+        the check is loose — it catches wrong oscillator parameters, sign
+        errors, or unit mix-ups, all of which are off by >2x)."""
+        import jax.numpy as jnp
+
+        from luisarender_tpu.core.spectrum import SRGB_PEAK_WAVELENGTHS
+        from luisarender_tpu.surfaces.metal import (
+            METAL_LD, ld_eta_k, metal_eta_k,
+        )
+
+        lam = jnp.asarray(SRGB_PEAK_WAVELENGTHS)  # R, G, B (descending nm)
+        for name, p in METAL_LD.items():
+            n3, k3 = metal_eta_k(name)
+            n_ld, k_ld = ld_eta_k(
+                lam, p["wp"], jnp.asarray(p["f"]), jnp.asarray(p["g"]),
+                jnp.asarray(p["w"]),
+            )
+            n_ld, k_ld = np.asarray(n_ld), np.asarray(k_ld)
+            # k (the absorption dominating metal appearance) is the robust
+            # one; n in the interband region differs more between datasets.
+            assert np.all(np.abs(k_ld - k3) / k3 < 0.45), (name, k_ld, k3)
+            assert np.all(np.abs(n_ld - n3) < np.maximum(0.75 * k3, 1.2)), (
+                name, n_ld, n3)
+
+    def test_lorentz_drude_dense_curve_dispersion(self):
+        """Gold's LD curve must show the visible-band behavior that makes
+        gold look gold: k rising steeply from blue to red, n dropping."""
+        import jax.numpy as jnp
+
+        from luisarender_tpu.surfaces.metal import METAL_LD, ld_eta_k
+
+        lam = jnp.linspace(400.0, 700.0, 61)
+        p = METAL_LD["au"]
+        n, k = ld_eta_k(lam, p["wp"], jnp.asarray(p["f"]),
+                        jnp.asarray(p["g"]), jnp.asarray(p["w"]))
+        n, k = np.asarray(n), np.asarray(k)
+        assert k[-1] > 2.5 and k[0] < 2.0  # strong red reflectance ramp
+        assert n[-1] < 0.6 and n[0] > 1.0
+        assert np.all(np.isfinite(n)) and np.all(np.isfinite(k))
+
 
 class TestPlastic:
     def test_energy_bounded(self):
