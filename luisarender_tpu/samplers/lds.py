@@ -223,57 +223,114 @@ class ZSobolSampler(_LDSBase):
         return owen_scramble(v, seed)
 
 
-def _generate_pmj02(n: int, seed: int) -> np.ndarray:
-    """Progressive multi-jittered (0,2) table, realized as an Owen-scrambled
-    Sobol (0,2) pair (Owen-scrambled (0,2)-sequences carry exactly the pmj02
-    stratification guarantees — Christensen et al. 2018 §A; the reference
-    ships precomputed tables, util/pmj02tables.h)."""
+def _np_rev32(x):
+    x = x.astype(np.uint32)
+    x = ((x << np.uint32(16)) | (x >> np.uint32(16))).astype(np.uint32)
+    x = ((x & np.uint32(0x00FF00FF)) << np.uint32(8)) | (
+        (x & np.uint32(0xFF00FF00)) >> np.uint32(8)
+    )
+    x = ((x & np.uint32(0x0F0F0F0F)) << np.uint32(4)) | (
+        (x & np.uint32(0xF0F0F0F0)) >> np.uint32(4)
+    )
+    x = ((x & np.uint32(0x33333333)) << np.uint32(2)) | (
+        (x & np.uint32(0xCCCCCCCC)) >> np.uint32(2)
+    )
+    x = ((x & np.uint32(0x55555555)) << np.uint32(1)) | (
+        (x & np.uint32(0xAAAAAAAA)) >> np.uint32(1)
+    )
+    return x.astype(np.uint32)
+
+
+def _generate_pmj02(n: int, seed: int, n_candidates: int = 12) -> np.ndarray:
+    """Progressive multi-jittered (0,2) table with blue noise — the real
+    pmj02bn construction (Christensen et al. 2018; pbrt-v4 ships the result
+    as util/pmj02tables.h, we generate it).
+
+    Realization: an Owen scramble is a pair of random binary trees (one flip
+    bit per node); a scrambled Sobol (0,2) pair is a pmj02 sequence for ANY
+    choice of flip bits. Building the trees *incrementally* — point i only
+    ever visits tree nodes whose prefix is determined by its Sobol d-values —
+    means every node first visited by point i is a free coin whose setting
+    moves point i but no earlier point, and any setting preserves the (0,2)
+    property. Blue noise drops out of best-candidate selection over those
+    free bits: draw n_candidates assignments, keep the one maximizing the
+    toroidal min-distance to all previous points."""
     idx = np.arange(n, dtype=np.uint32)
-
-    def rev(x):
-        x = x.astype(np.uint32)
-        x = ((x << np.uint32(16)) | (x >> np.uint32(16))).astype(np.uint32)
-        x = ((x & np.uint32(0x00FF00FF)) << np.uint32(8)) | (
-            (x & np.uint32(0xFF00FF00)) >> np.uint32(8)
-        )
-        x = ((x & np.uint32(0x0F0F0F0F)) << np.uint32(4)) | (
-            (x & np.uint32(0xF0F0F0F0)) >> np.uint32(4)
-        )
-        x = ((x & np.uint32(0x33333333)) << np.uint32(2)) | (
-            (x & np.uint32(0xCCCCCCCC)) >> np.uint32(2)
-        )
-        x = ((x & np.uint32(0x55555555)) << np.uint32(1)) | (
-            (x & np.uint32(0xAAAAAAAA)) >> np.uint32(1)
-        )
-        return x.astype(np.uint32)
-
-    def owen_np(x, s):
-        x = rev(x)
-        x = (x + np.uint32(s)).astype(np.uint32)
-        for mul in (0x6C50B47C, 0xB82F1E52, 0xC7AFE638, 0x8D22F6E6):
-            x = (x ^ (x * np.uint32(mul))).astype(np.uint32)
-        return rev(x)
-
-    d0 = rev(idx)
+    d0 = _np_rev32(idx)
     d1 = np.zeros(n, np.uint32)
     for j in range(32):
         bit = (idx >> np.uint32(j)) & np.uint32(1)
         d1 ^= bit * _SOBOL_DIM1[j]
+
     rs = np.random.RandomState(seed)
-    s0, s1 = rs.randint(0, 2**31, 2)
-    u0 = owen_np(d0, s0).astype(np.float64) / 2**32
-    u1 = owen_np(d1, s1).astype(np.float64) / 2**32
-    return np.stack([u0, u1], axis=-1).astype(np.float32)
+    # Tree bookkeeping is only needed down to level k = log2(n): distinct
+    # Sobol d-values of an n-point prefix differ within their top-k bits
+    # (both generator matrices are nonsingular on k-bit inputs), so below
+    # level k every node is visited by exactly one point — those bits are
+    # private free coins needing no dict.
+    k_lvl = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    low_mask = np.uint64((1 << (32 - k_lvl)) - 1)
+    trees = ({}, {})  # (level, prefix) -> flip bit
+    pts = np.zeros((n, 2), np.float64)
+
+    def base_and_mask(d, tree):
+        """Scramble through fixed tree bits; free (new) bits are left 0 and
+        returned as a mask. Candidates are base ^ (random & mask)."""
+        d = int(d)
+        x = 0
+        mask = int(low_mask)
+        new = []
+        for lvl in range(k_lvl):
+            key = (lvl, d >> (32 - lvl))
+            flip = tree.get(key)
+            pos = 31 - lvl
+            if flip is None:
+                new.append((key, pos))
+                mask |= 1 << pos
+                bit = (d >> pos) & 1
+            else:
+                bit = ((d >> pos) & 1) ^ flip
+            x |= bit << pos
+        x |= d & int(low_mask)  # low bits pass through; randomized via mask
+        return np.uint64(x), np.uint64(mask), new
+
+    for i in range(n):
+        x0, mx, new0 = base_and_mask(d0[i], trees[0])
+        y0, my, new1 = base_and_mask(d1[i], trees[1])
+        nc = 1 if i == 0 else n_candidates
+        rx = rs.randint(0, 2**32, size=nc).astype(np.uint64) & mx
+        ry = rs.randint(0, 2**32, size=nc).astype(np.uint64) & my
+        xs = (x0 ^ rx).astype(np.float64) / 2.0**32
+        ys = (y0 ^ ry).astype(np.float64) / 2.0**32
+        if i == 0:
+            best = 0
+        else:
+            dx = np.abs(pts[:i, 0][None, :] - xs[:, None])
+            dy = np.abs(pts[:i, 1][None, :] - ys[:, None])
+            dx = np.minimum(dx, 1.0 - dx)
+            dy = np.minimum(dy, 1.0 - dy)
+            best = int(np.argmax((dx * dx + dy * dy).min(axis=1)))
+        # record the chosen free bits (the XOR flips the ORIGINAL d bit, so
+        # the tree flip bit is exactly the chosen random bit)
+        for key, pos in new0:
+            trees[0][key] = (int(rx[best]) >> pos) & 1
+        for key, pos in new1:
+            trees[1][key] = (int(ry[best]) >> pos) & 1
+        pts[i] = (xs[best], ys[best])
+    return pts.astype(np.float32)
 
 
 @register(SceneNodeTag.SAMPLER, "pmj02bn", "PMJ02BN", "pmj02", "PMJ02")
 class PMJ02Sampler(_LDSBase):
-    """PMJ02 table sampler (samplers/pmj02bn.cpp): per-pixel table selection
-    + Cranley-Patterson rotation by pixel hash. Tables are generated at
-    first use and disk-cached (util/pmj02tables.h replacement)."""
+    """PMJ02BN table sampler (samplers/pmj02bn.cpp): per-pixel table
+    selection and Cranley-Patterson rotations driven by a void-and-cluster
+    blue-noise texture (so neighboring pixels get maximally-decorrelated
+    error — the "bn" the reference inherits from pbrt-v4's shipped
+    tables/textures; both are *generated* here and disk-cached)."""
 
     N_TABLES = 5
     TABLE_SIZE = 1024
+    BN_SIZE = 64
 
     def __init__(self, scene, desc):
         super().__init__(scene, desc)
@@ -283,7 +340,7 @@ class PMJ02Sampler(_LDSBase):
             )
         )
         cache.mkdir(parents=True, exist_ok=True)
-        path = cache / f"pmj02_{self.N_TABLES}x{self.TABLE_SIZE}.npy"
+        path = cache / f"pmj02bn_{self.N_TABLES}x{self.TABLE_SIZE}.npy"
         if path.exists():
             tables = np.load(path)
         else:
@@ -295,18 +352,39 @@ class PMJ02Sampler(_LDSBase):
             )
             np.save(path, tables)
         self.tables = jnp.asarray(tables)  # (T, N, 2)
+        from ..core.bluenoise import bluenoise_texture
+
+        self.bn = jnp.asarray(
+            np.stack([bluenoise_texture(self.BN_SIZE, s) for s in range(3)])
+        )  # (3, BN, BN): table pick, rotation x, rotation y
+
+    def start(self, pixel_xy, sample_index):
+        state = super().start(pixel_xy, sample_index)
+        return self._with_bn(state, pixel_xy[..., 0], pixel_xy[..., 1])
+
+    def _with_bn(self, state, x, y):
+        """Attach per-pixel blue-noise values (gathered once per sample pass;
+        the lookup is loop-invariant in the per-spp loop, so XLA hoists it
+        out of the hot bounce loop)."""
+        xi = x.astype(jnp.int32) % self.BN_SIZE
+        yi = y.astype(jnp.int32) % self.BN_SIZE
+        state["bn"] = self.bn[:, yi, xi]  # (3, ...)
+        return state
 
     def _sample_2d_table(self, state, pair):
-        t = rng.xxhash32(state["pixel"], pair, self.seed) % self.N_TABLES
+        bn = state["bn"]
+        # toroidally shift the blue-noise value per dimension pair: spatial
+        # blue structure is preserved, pairs are decorrelated
+        shift = rng.uniform_u32_to_float(
+            rng.xxhash32(pair, jnp.uint32(0x9E3779B9), self.seed)
+        )
+        t = (((bn[0] + shift) % 1.0) * self.N_TABLES).astype(jnp.int32)
         idx = state["sample"] % self.TABLE_SIZE
         pt = self.tables[t, idx]
-        # Cranley-Patterson rotation per (pixel, pair)
-        rx = rng.uniform_u32_to_float(
-            rng.xxhash32(state["pixel"], pair, self.seed + 1)
-        )
-        ry = rng.uniform_u32_to_float(
-            rng.xxhash32(state["pixel"], pair, self.seed + 2)
-        )
+        rx = (bn[1] + rng.uniform_u32_to_float(
+            rng.xxhash32(pair, jnp.uint32(1), self.seed + 1))) % 1.0
+        ry = (bn[2] + rng.uniform_u32_to_float(
+            rng.xxhash32(pair, jnp.uint32(2), self.seed + 2))) % 1.0
         return jnp.stack(
             [(pt[..., 0] + rx) % 1.0, (pt[..., 1] + ry) % 1.0], axis=-1
         )
@@ -331,4 +409,6 @@ class TileSharedSampler(PMJ02Sampler):
         tile_x = pixel_xy[..., 0] // self.TILE
         tile_y = pixel_xy[..., 1] // self.TILE
         state["pixel"] = rng.xxhash32(tile_x, tile_y, self.seed)
-        return state
+        # blue-noise values are shared per tile too (the shared table pick
+        # is the point of this sampler)
+        return self._with_bn(state, tile_x, tile_y)

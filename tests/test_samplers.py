@@ -161,3 +161,73 @@ class TestVarianceReduction:
         err_ind = np.abs(render_with("independent", 16) - ref).mean()
         err_lds = np.abs(render_with("zsobol", 16) - ref).mean()
         assert err_lds < err_ind * 1.05, (err_lds, err_ind)
+
+
+class TestPMJ02BN:
+    def test_tables_are_02_sequences(self):
+        """Every power-of-2 prefix of a generated pmj02bn table must satisfy
+        (0,2) stratification: all elementary intervals of every shape
+        (2^a x 2^b with a+b=k) contain exactly one of the first 2^k points."""
+        from luisarender_tpu.samplers.lds import _generate_pmj02
+
+        pts = _generate_pmj02(256, seed=42, n_candidates=8)
+        for k in (2, 4, 6, 8):
+            n = 1 << k
+            p = pts[:n].astype(np.float64)
+            for a in range(k + 1):
+                b = k - a
+                ix = (p[:, 0] * (1 << a)).astype(int)
+                iy = (p[:, 1] * (1 << b)).astype(int)
+                cells = ix * (1 << b) + iy
+                counts = np.bincount(cells, minlength=n)
+                assert (counts == 1).all(), (k, a, b)
+
+    def test_blue_noise_beats_plain_owen(self):
+        """Best-candidate selection must produce larger minimum point
+        separation than an unoptimized scramble (the 'bn' property). The
+        gain is strongest on prefixes where free tree bits remain plentiful,
+        and is modest (~20%, matching Christensen et al. 2018's reported
+        min-dist improvements) — so average over seeds at a 64-point prefix
+        and require a clear statistical win."""
+        from luisarender_tpu.samplers.lds import _generate_pmj02
+
+        def min_dist(pts):
+            d = pts[:, None, :] - pts[None, :, :]
+            d = np.abs(d)
+            d = np.minimum(d, 1.0 - d)
+            r2 = (d**2).sum(-1) + np.eye(len(pts))
+            return np.sqrt(r2.min())
+
+        seeds = range(5)
+        bn = np.mean(
+            [min_dist(_generate_pmj02(256, seed=s, n_candidates=12)[:64])
+             for s in seeds]
+        )
+        plain = np.mean(
+            [min_dist(_generate_pmj02(256, seed=s, n_candidates=1)[:64])
+             for s in seeds]
+        )
+        assert bn > plain * 1.1, (bn, plain)
+
+    def test_bluenoise_texture_is_blue(self):
+        """Void-and-cluster output: uniform histogram and strong neighbor
+        decorrelation (adjacent values differ much more than white noise)."""
+        from luisarender_tpu.core.bluenoise import generate_bluenoise_ranks
+
+        n = 32
+        ranks = generate_bluenoise_ranks(n, seed=3)
+        assert sorted(ranks.ravel().tolist()) == list(range(n * n))
+        tex = (ranks + 0.5) / (n * n)
+        # mean |difference| between horizontal neighbors: white noise gives
+        # E|u-v| = 1/3; blue noise pushes neighbors apart
+        d = np.abs(tex - np.roll(tex, 1, axis=1)).mean()
+        assert d > 0.38, d
+        # the first 10% of ranks should be well-separated spatially
+        ys, xs = np.where(ranks < n * n // 10)
+        pts = np.stack([ys, xs], -1).astype(np.float64) / n
+        delta = np.abs(pts[:, None] - pts[None, :])
+        delta = np.minimum(delta, 1.0 - delta)
+        r2 = (delta**2).sum(-1) + np.eye(len(pts))
+        # random placement of m points has expected min-dist ~ 1/m; require
+        # clearly better
+        assert np.sqrt(r2.min()) > 1.5 / len(pts), np.sqrt(r2.min())
