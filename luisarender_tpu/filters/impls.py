@@ -22,6 +22,24 @@ class BoxFilter(Filter):
     def evaluate(self, x):
         return 1.0
 
+    def sample_1d(self, u):
+        """Gather-free specialization, bit-identical to the LUT/alias path:
+        for a box kernel every alias probability is 1 (equal weights), the
+        normalized LUT is 1, and pdf*n/(2r) is 1, so offset reduces to
+        (2u-1)*r and weight to 1 — all through exact power-of-two float ops.
+        The general path's 8 table gathers cost ~6 ms per 1M camera rays on
+        v5e; this costs ~nothing."""
+        import jax.numpy as jnp
+
+        from .base import FILTER_LUT_SIZE
+
+        n = FILTER_LUT_SIZE
+        ux = u * n
+        i = jnp.clip(ux.astype(jnp.int32), 0, n - 1)
+        u_rem = jnp.clip(ux - i.astype(jnp.float32), 0.0, 1.0 - 2.0 ** -24)
+        offset = (u * 2.0 - 1.0) * self.radius
+        return offset, jnp.ones_like(u), u_rem
+
 
 @register(SceneNodeTag.FILTER, "triangle", "Triangle")
 class TriangleFilter(Filter):

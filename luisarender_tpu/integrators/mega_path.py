@@ -47,6 +47,39 @@ def path_trace_batch(
     n = pixel_xy.shape[0]
     c = compiled.plan.spectral_dim
 
+    from ..ops import fused_path
+
+    if fused_path.use_fused(compiled, sampler, light_sampler):
+        cam = fused_path.camgen_params(camera, time)
+        if cam is not None:
+            cam = {**cam, "sampler_seed": sampler.seed & 0xFFFFFFFF}
+            rgb, n_rays = fused_path.trace_paths_fused_camgen(
+                compiled, arrays, cam, pixel_xy, sample_index,
+                max_depth=max_depth, rr_depth=rr_depth,
+                rr_threshold=rr_threshold,
+                interpret=fused_path.FORCE_INTERPRET,
+            )
+        else:
+            state0 = sampler.start(pixel_xy, sample_index)
+            state0, u_filter = sampler.generate_pixel_2d(state0)
+            if camera.requires_lens_sampling:
+                state0, u_lens = sampler.generate_2d(state0)
+            else:
+                u_lens = jnp.full((n, 2), 0.5, jnp.float32)
+            ray, _, cam_weight = camera.generate_rays(
+                pixel_xy, u_filter, u_lens, time
+            )
+            rgb, n_rays = fused_path.trace_paths_fused(
+                compiled, arrays, ray, cam_weight, state0,
+                max_depth=max_depth, rr_depth=rr_depth,
+                rr_threshold=rr_threshold,
+                interpret=fused_path.FORCE_INTERPRET,
+            )
+        weight = jnp.ones((n,), jnp.float32)
+        if with_stats:
+            return rgb, weight, {"rays": n_rays}
+        return rgb, weight
+
     state = sampler.start(pixel_xy, sample_index)
     state, u_filter = sampler.generate_pixel_2d(state)
     if camera.requires_lens_sampling:
@@ -54,6 +87,7 @@ def path_trace_batch(
     else:
         u_lens = jnp.full((n, 2), 0.5, jnp.float32)
     ray, _, cam_weight = camera.generate_rays(pixel_xy, u_filter, u_lens, time)
+
     if spectrum.is_fixed:
         swl = spectrum.sample_wavelengths(jnp.zeros((n, 1), jnp.float32))
     else:

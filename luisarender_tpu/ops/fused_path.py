@@ -1,0 +1,1002 @@
+"""Fully-fused whole-path Pallas megakernel for eligible scenes.
+
+This is the true TPU analogue of the reference's megakernel
+(/root/reference/src/integrators/mega_path.cpp:49-156): ONE kernel runs the
+entire bounce loop — closest trace, interaction reconstruction, emissive-hit
+MIS, NEE (light pick, shadow trace), matte BSDF evaluate/sample, Russian
+roulette — with every intermediate resident in VMEM/registers. The unfused
+XLA path (integrators/common.py bounce_step) round-trips the ~40-array path
+state through HBM between every phase; at 1M lanes that is ~5.4 ms per bounce
+against a ~0.4 ms memory floor. Here HBM traffic is one ray-block read and
+one radiance write per PATH, not per phase.
+
+Eligibility (checked at scene-compile time, scene/compiler.py -> plan flag
+`fused_path`): matte-only surfaces with constant textures and no normal
+maps/alpha, diffuse area lights with constant emission, uniform light sampler,
+independent sampler, fixed sRGB spectrum, no environment/media, all-opaque
+flat geometry small enough for the VMEM-resident brute-force trace
+(P <= MAX_TRIS rows), <= MAX_INSTANCES instances. Everything per-lane-indexed
+(instance row, light row) becomes an unrolled select over the (tiny) table —
+Pallas TPU has no per-lane gather, and at these sizes selects are cheaper
+than any gather anyway.
+
+The kernel mirrors the unfused math AND the independent sampler's draw order
+exactly (7 LCG draws per bounce: u_sel, u_light.xy, u_lobe, u_bsdf.xy, u_rr),
+so fused and unfused renders of the same scene agree to float-associativity
+noise (tests/test_fused_path.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_TRIS = 64  # padded tri-table rows (select-loop unroll bound)
+MAX_INSTANCES = 32
+MAX_LIGHT_TRIS = 8
+MAX_LIGHTS = 4
+BLK = 4096  # measured best on v5e (2048: 199 Mray/s, 4096: 224, 8192: 219)
+SUB = BLK // 128
+UNROLL_DEPTH = True
+
+_F32_BIG = 3e38  # plain Python float: jnp constants at module scope would be
+# captured as out-of-trace closure constants by pallas_call
+
+# ---------------------------------------------------------------------------
+# Compile-time pack construction (host, numpy)
+# ---------------------------------------------------------------------------
+
+# inst_table columns (one row per instance):
+#   0:3  kd (albedo-decoded: clipped to [0,1])   3 oren-nayar A   4 oren-nayar B
+#   5    surface two_sided                       6 has_surface
+#   7    has_light                               8:11 emission (illuminant * scale)
+#   11   light two_sided                         12 light total_area
+INST_COLS = 16
+# entry_table columns (one row per light-list entry):
+#   0 alias_offset  1 tri_count  2 total_area  3 instance id
+#   4:7 emission    7 two_sided
+ENTRY_COLS = 8
+
+
+def _const_value(texture_types, texture_rows, handle, default):
+    """Fold a texture handle to its constant rgba, or None if not foldable."""
+    h = int(handle)
+    if h < 0:
+        return np.asarray(default, np.float32)
+    type_id = h >> 24
+    index = h & ((1 << 24) - 1)
+    cls = texture_types[type_id]
+    if cls.impl_names[0] != "constant":
+        return None
+    return np.asarray(texture_rows[type_id][index]["value"], np.float32)
+
+
+def build_fused_pack(
+    surface_types,
+    surface_rows,
+    light_types,
+    light_rows,
+    texture_types,
+    texture_rows,
+    instances,
+    light_entries,
+    spectrum,
+    num_tris_padded,
+    all_opaque,
+    has_environment,
+    has_media,
+    two_level,
+):
+    """Returns {"inst_table": (NI,16), "entry_table": (NL,8)} numpy arrays if
+    the scene qualifies for the fused path, else None."""
+    if two_level or has_environment or has_media or not all_opaque:
+        return None
+    if num_tris_padded > MAX_TRIS:
+        return None
+    if type(spectrum).__name__ != "SRGBSpectrum":
+        return None
+    ni = len(instances["surface_tag"])
+    if ni == 0 or ni > MAX_INSTANCES:
+        return None
+    nl = len(light_entries["inst"])
+    if nl > MAX_LIGHTS:
+        return None
+    if nl and (
+        int(np.sum(np.asarray(light_entries["tri_count"]))) > MAX_LIGHT_TRIS
+    ):
+        return None
+    for cls in surface_types:
+        if cls.impl_names[0] != "matte":
+            return None
+    for cls in light_types:
+        if cls.impl_names[0] != "diffuse":
+            return None
+
+    def surf_row(tag, idx):
+        return surface_rows[tag][idx]
+
+    inst_table = np.zeros((ni, INST_COLS), np.float32)
+    for i in range(ni):
+        stag = int(instances["surface_tag"][i])
+        if int(instances["medium_tag"][i]) >= 0:
+            return None
+        if stag >= 0:
+            row = surf_row(stag, int(instances["surface_index"][i]))
+            if int(row.get("normal_map", -1)) >= 0:
+                return None
+            if int(row.get("alpha", -1)) >= 0:
+                return None
+            kd = _const_value(
+                texture_types, texture_rows, row["kd"], (1.0, 1.0, 1.0, 0.0)
+            )
+            sigma = _const_value(
+                texture_types, texture_rows, row["sigma"], (0.0,) * 4
+            )
+            if kd is None or sigma is None:
+                return None
+            s = float(sigma[0]) * (np.pi / 180.0)
+            s2 = s * s
+            inst_table[i, 0:3] = np.clip(kd[:3], 0.0, 1.0)
+            inst_table[i, 3] = 1.0 - s2 / (2.0 * (s2 + 0.33))
+            inst_table[i, 4] = 0.45 * s2 / (s2 + 0.09)
+            inst_table[i, 5] = float(row.get("two_sided", 0.0))
+            inst_table[i, 6] = 1.0
+        ltag = int(instances["light_tag"][i])
+        if ltag >= 0:
+            lrow = light_rows[ltag][int(instances["light_index"][i])]
+            em = _const_value(
+                texture_types, texture_rows, lrow["emission"],
+                (1.0, 1.0, 1.0, 0.0),
+            )
+            if em is None:
+                return None
+            entry = int(instances["light_entry"][i])
+            inst_table[i, 7] = 1.0
+            inst_table[i, 8:11] = (
+                np.maximum(em[:3], 0.0) * float(lrow["scale"])
+            )
+            inst_table[i, 11] = float(lrow["two_sided"])
+            inst_table[i, 12] = float(light_entries["total_area"][entry])
+
+    entry_table = np.zeros((max(nl, 1), ENTRY_COLS), np.float32)
+    for e in range(nl):
+        inst = int(light_entries["inst"][e])
+        entry_table[e, 0] = float(light_entries["alias_offset"][e])
+        entry_table[e, 1] = float(light_entries["tri_count"][e])
+        entry_table[e, 2] = float(light_entries["total_area"][e])
+        entry_table[e, 3] = float(inst)
+        entry_table[e, 4:7] = inst_table[inst, 8:11]
+        entry_table[e, 7] = inst_table[inst, 11]
+    return {
+        "inst_table": inst_table,
+        "entry_table": entry_table,
+    }
+
+
+# ---------------------------------------------------------------------------
+# In-kernel math helpers (all operate on (SUB, 128) f32 blocks)
+# ---------------------------------------------------------------------------
+
+_INV_U32 = 2.3283064365386963e-10
+_ONE_MINUS_EPS = 1.0 - 2.0 ** -24
+
+
+def _u32_to_f32(v):
+    """uint32 -> float32 with round-to-nearest, Mosaic-compatible (Mosaic has
+    no direct u32->f32 cast). hi*256 and lo are exact in f32; their sum rounds
+    once — identical bits to the direct conversion XLA emits elsewhere."""
+    hi = jax.lax.bitcast_convert_type(v >> jnp.uint32(8), jnp.int32).astype(
+        jnp.float32
+    )
+    lo = jax.lax.bitcast_convert_type(
+        v & jnp.uint32(0xFF), jnp.int32
+    ).astype(jnp.float32)
+    return hi * 256.0 + lo
+
+
+def _xxhash32_4(w0, w1, w2, w3):
+    """core/rng.py xxhash32 over exactly 4 uint32 words (the independent
+    sampler's per-(pixel, sample) seed), uint32-only ops."""
+    P2 = jnp.uint32(2246822519)
+    P3 = jnp.uint32(3266489917)
+    P4 = jnp.uint32(668265263)
+    P5 = jnp.uint32(374761393)
+    h = P5 + jnp.uint32(16)
+    for w in (w0, w1, w2, w3):
+        h = h + w * P3
+        h = (h << jnp.uint32(17)) | (h >> jnp.uint32(15))
+        h = h * P4
+    h = (h ^ (h >> jnp.uint32(15))) * P2
+    h = (h ^ (h >> jnp.uint32(13))) * P3
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def _lcg(st):
+    st = st * jnp.uint32(0x0019660D) + jnp.uint32(0x3C6EF35F)
+    u = jnp.minimum(
+        _u32_to_f32(st) * jnp.float32(_INV_U32),
+        jnp.float32(_ONE_MINUS_EPS),
+    )
+    return st, u
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z, eps=1e-20):
+    inv = 1.0 / jnp.maximum(jnp.sqrt(x * x + y * y + z * z), eps)
+    return x * inv, y * inv, z * inv
+
+
+def _safe_div(a, b, eps=1e-20):
+    ok = jnp.abs(b) > eps
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
+def _balance(pdf_a, pdf_b):
+    return pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-20)
+
+
+_ORIGIN = 1.0 / 32.0
+_FLOAT_SCALE = 1.0 / 65536.0
+_INT_SCALE = 256.0
+
+
+def _offset1(p, n):
+    """Robust ray-origin offset, one component (core/types.py offset_ray_origin)."""
+    of_i = (_INT_SCALE * n).astype(jnp.int32)
+    p_bits = jax.lax.bitcast_convert_type(p, jnp.int32)
+    p_i = jax.lax.bitcast_convert_type(
+        jnp.where(p < 0.0, p_bits - of_i, p_bits + of_i), jnp.float32
+    )
+    return jnp.where(jnp.abs(p) < _ORIGIN, p + _FLOAT_SCALE * n, p_i)
+
+
+def _concentric_disk(u0, u1):
+    ux = 2.0 * u0 - 1.0
+    uy = 2.0 * u1 - 1.0
+    zero = (ux == 0.0) & (uy == 0.0)
+    use_x = jnp.abs(ux) > jnp.abs(uy)
+    r = jnp.where(use_x, ux, uy)
+    pi = jnp.float32(np.pi)
+    theta = jnp.where(
+        use_x,
+        (pi / 4.0) * (uy / jnp.where(ux == 0.0, 1.0, ux)),
+        (pi / 2.0) - (pi / 4.0) * (ux / jnp.where(uy == 0.0, 1.0, uy)),
+    )
+    dx = jnp.where(zero, 0.0, r * jnp.cos(theta))
+    dy = jnp.where(zero, 0.0, r * jnp.sin(theta))
+    return dx, dy
+
+
+def _make_frame(nx, ny, nz):
+    """Duff et al. branchless frame (core/frame.py make_frame)."""
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    sx = 1.0 + sign * nx * nx * a
+    sy = sign * b
+    sz = -sign * nx
+    tx = b
+    ty = sign + ny * ny * a
+    tz = -ny
+    return sx, sy, sz, tx, ty, tz
+
+
+def _frame_from_z_and_hint(nx, ny, nz, hx, hy, hz):
+    """core/frame.py frame_from_z_and_hint (Gram-Schmidt with fallback)."""
+    d = _dot(hx, hy, hz, nx, ny, nz)
+    sx = hx - d * nx
+    sy = hy - d * ny
+    sz = hz - d * nz
+    s_len = jnp.sqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 0.0))
+    fsx, fsy, fsz, ftx, fty, ftz = _make_frame(nx, ny, nz)
+    ok = s_len > 1e-8
+    inv = 1.0 / jnp.maximum(s_len, 1e-20)
+    sx = jnp.where(ok, sx * inv, fsx)
+    sy = jnp.where(ok, sy * inv, fsy)
+    sz = jnp.where(ok, sz * inv, fsz)
+    # t = n x s
+    tx = jnp.where(ok, ny * sz - nz * sy, ftx)
+    ty = jnp.where(ok, nz * sx - nx * sz, fty)
+    tz = jnp.where(ok, nx * sy - ny * sx, ftz)
+    return sx, sy, sz, tx, ty, tz
+
+
+def _moller_trumbore_row(tri, j, ox, oy, oz, dx, dy, dz):
+    """One static triangle row (float literals) against a ray block. The
+    caller skips invalid (padding) rows statically — no validity term here."""
+    v0x, v0y, v0z = float(tri[j, 0]), float(tri[j, 1]), float(tri[j, 2])
+    e1x, e1y, e1z = float(tri[j, 3]), float(tri[j, 4]), float(tri[j, 5])
+    e2x, e2y, e2z = float(tri[j, 6]), float(tri[j, 7]), float(tri[j, 8])
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return ok, t, u, v
+
+
+def _select_row(table, idx_f, cols, n_rows):
+    """Unrolled per-lane row select: idx_f (SUB,128) float row index ->
+    tuple of selected column values. table is host numpy: entries enter the
+    kernel as float literals."""
+    out = [jnp.zeros_like(idx_f) for _ in cols]
+    for r in range(n_rows):
+        m = idx_f == float(r)
+        for k, c in enumerate(cols):
+            out[k] = jnp.where(m, float(table[r, c]), out[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _matte_f_pdf(kd_r, kd_g, kd_b, on_a, on_b, wol_x, wol_y, wol_z,
+                 wil_x, wil_y, wil_z):
+    """Local-frame Oren-Nayar f (with |cos wi|) + cosine pdf
+    (surfaces/matte.py _f_pdf with constant-folded kd/sigma)."""
+    inv_pi = jnp.float32(1.0 / np.pi)
+    cos_o = jnp.abs(wol_z)
+    cos_i = jnp.abs(wil_z)
+    sin2_o = jnp.maximum(1.0 - wol_z * wol_z, 0.0)
+    sin2_i = jnp.maximum(1.0 - wil_z * wil_z, 0.0)
+    sin_o = jnp.sqrt(sin2_o)
+    sin_i = jnp.sqrt(sin2_i)
+    # cos(phi_i - phi_o) via normalized xy projections
+    inv_so = 1.0 / jnp.maximum(sin_o, 1e-20)
+    inv_si = 1.0 / jnp.maximum(sin_i, 1e-20)
+    cos_d_phi = (wil_x * inv_si) * (wol_x * inv_so) + (
+        wil_y * inv_si
+    ) * (wol_y * inv_so)
+    max_cos = jnp.where(
+        (sin_i > 1e-4) & (sin_o > 1e-4), jnp.maximum(cos_d_phi, 0.0), 0.0
+    )
+    o_gt_i = cos_o > cos_i
+    sin_alpha = jnp.where(o_gt_i, sin_i, sin_o)
+    tan_beta = jnp.where(
+        o_gt_i,
+        sin_o / jnp.maximum(cos_o, 1e-6),
+        sin_i / jnp.maximum(cos_i, 1e-6),
+    )
+    on = on_a + on_b * max_cos * sin_alpha * tan_beta
+    same_side = wol_z * wil_z > 0.0
+    scale = jnp.where(same_side, inv_pi * on * cos_i, 0.0)
+    f_r = kd_r * scale
+    f_g = kd_g * scale
+    f_b = kd_b * scale
+    pdf = jnp.where(same_side, cos_i * inv_pi, 0.0)
+    return f_r, f_g, f_b, pdf
+
+
+def _sin_cos_phi(x, y, sin_theta):
+    inv = 1.0 / jnp.maximum(sin_theta, 1e-20)
+    return x * inv, y * inv
+
+
+def _fused_kernel(
+    *refs,
+    tables, n_tri, n_inst, n_entry, n_light_tri, max_depth, rr_depth,
+    rr_threshold, p_light, unroll, cam=None,
+):
+    if cam is None:
+        (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmin_r, tmax_r, beta0_r, st_r,
+         lr_o, lg_o, lb_o, nrays_o) = refs
+    else:
+        (px_r, py_r, si_r,
+         lr_o, lg_o, lb_o, nrays_o) = refs
+    # Scene-static tables baked as HOST numpy: every tri[j, c] below becomes
+    # a float literal in the traced kernel (a vector immediate for Mosaic)
+    # instead of a VMEM scalar load + lane broadcast. This is per-scene
+    # kernel specialization — exactly the reference's LuisaCompute JIT model.
+    tri = tables["tri"]  # (P, 16) np
+    shade = tables["shade"]  # (P, 40) np
+    inst_t = tables["inst"]  # (NI, 16) np
+    entry_t = tables["entry"]  # (NL, 8) np
+    light_t = tables["light"]  # (LT, 24) np
+
+    if cam is None:
+        st = st_r[0]
+        ox, oy, oz = ox_r[0], oy_r[0], oz_r[0]
+        dx, dy, dz = dx_r[0], dy_r[0], dz_r[0]
+        tmin = tmin_r[0]
+        tmax = jnp.minimum(tmax_r[0], _F32_BIG)
+        beta_r = beta0_r[0]
+        beta_g = beta0_r[0]
+        beta_b = beta0_r[0]
+        zero = jnp.zeros_like(ox)
+    else:
+        # in-kernel camera generation (pinhole + box filter): mirrors
+        # sampler.generate_pixel_2d -> BoxFilter.sample -> pinhole
+        # _generate_ray_in_camera_space -> camera_to_world, bit-for-bit
+        # per-(pixel, sample) seed computed in-kernel (rng.seed_pixels):
+        # the pixel-id inputs are sample-invariant, so XLA hoists their
+        # upload out of the per-sample loop entirely
+        si = si_r[0, 0]
+        px_i = px_r[0]
+        py_i = py_r[0]
+        st = _xxhash32_4(
+            jax.lax.bitcast_convert_type(
+                jnp.zeros_like(px_i) + si, jnp.uint32
+            ),
+            jax.lax.bitcast_convert_type(px_i, jnp.uint32),
+            jax.lax.bitcast_convert_type(py_i, jnp.uint32),
+            jnp.uint32(cam["sampler_seed"]),
+        )
+        px_f = px_i.astype(jnp.float32)
+        py_f = py_i.astype(jnp.float32)
+        zero = jnp.zeros_like(px_f)
+        st, u0 = _lcg(st)
+        st, u1 = _lcg(st)
+        fx = px_f + 0.5 + (u0 * 2.0 - 1.0) * jnp.float32(cam["radius"])
+        fy = py_f + 0.5 + (u1 * 2.0 - 1.0) * jnp.float32(cam["radius"])
+        pcx = (fx * 2.0 - jnp.float32(cam["resx"])) * jnp.float32(cam["s"])
+        pcy = (fy * 2.0 - jnp.float32(cam["resy"])) * jnp.float32(cam["s"])
+        dcx, dcy, dcz = _normalize3(pcx, -pcy, zero - 1.0)
+        wdx = (jnp.float32(cam["c00"]) * dcx + jnp.float32(cam["c01"]) * dcy
+               + jnp.float32(cam["c02"]) * dcz)
+        wdy = (jnp.float32(cam["c10"]) * dcx + jnp.float32(cam["c11"]) * dcy
+               + jnp.float32(cam["c12"]) * dcz)
+        wdz = (jnp.float32(cam["c20"]) * dcx + jnp.float32(cam["c21"]) * dcy
+               + jnp.float32(cam["c22"]) * dcz)
+        dx, dy, dz = _normalize3(wdx, wdy, wdz)
+        ox = zero + jnp.float32(cam["c03"])
+        oy = zero + jnp.float32(cam["c13"])
+        oz = zero + jnp.float32(cam["c23"])
+        tmin = zero
+        tmax = zero + jnp.float32(_F32_BIG)
+        beta_r = zero + 1.0
+        beta_g = zero + 1.0
+        beta_b = zero + 1.0
+    L_r = zero
+    L_g = zero
+    L_b = zero
+    active_f = zero + 1.0  # carried as f32: Mosaic rejects i1 vector carries
+    pdf_bsdf = zero + 1e16
+    nrays = jnp.zeros(ox.shape, jnp.int32)
+
+    def bounce(i, carry):
+        (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
+         beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf,
+         nrays) = carry
+        active = active_f > 0.5
+        nrays = nrays + active.astype(jnp.int32)
+
+        # --- closest trace + fused shade-row select -----------------------
+        best_t = tmax
+        best_u = zero
+        best_v = zero
+        hitv = zero > 1.0
+        ngx = zero; ngy = zero; ngz = zero
+        n0x = zero; n0y = zero; n0z = zero
+        n1x = zero; n1y = zero; n1z = zero
+        n2x = zero; n2y = zero; n2z = zero
+        tgx = zero; tgy = zero; tgz = zero
+        v0x = zero; v0y = zero; v0z = zero
+        e1x = zero; e1y = zero; e1z = zero
+        e2x = zero; e2y = zero; e2z = zero
+        inst_f = zero
+        for j in range(n_tri):
+            if float(tri[j, 9]) == 0.0:
+                continue  # padding row: skipped at trace time, zero cost
+            ok, t, u, v = _moller_trumbore_row(tri, j, ox, oy, oz, dx, dy, dz)
+            ok &= (t > tmin) & (t < best_t)
+            best_t = jnp.where(ok, t, best_t)
+            best_u = jnp.where(ok, u, best_u)
+            best_v = jnp.where(ok, v, best_v)
+            hitv = hitv | ok
+            ngx = jnp.where(ok, float(shade[j, 9]), ngx)
+            ngy = jnp.where(ok, float(shade[j, 10]), ngy)
+            ngz = jnp.where(ok, float(shade[j, 11]), ngz)
+            n0x = jnp.where(ok, float(shade[j, 13]), n0x)
+            n0y = jnp.where(ok, float(shade[j, 14]), n0y)
+            n0z = jnp.where(ok, float(shade[j, 15]), n0z)
+            n1x = jnp.where(ok, float(shade[j, 16]), n1x)
+            n1y = jnp.where(ok, float(shade[j, 17]), n1y)
+            n1z = jnp.where(ok, float(shade[j, 18]), n1z)
+            n2x = jnp.where(ok, float(shade[j, 19]), n2x)
+            n2y = jnp.where(ok, float(shade[j, 20]), n2y)
+            n2z = jnp.where(ok, float(shade[j, 21]), n2z)
+            tgx = jnp.where(ok, float(shade[j, 28]), tgx)
+            tgy = jnp.where(ok, float(shade[j, 29]), tgy)
+            tgz = jnp.where(ok, float(shade[j, 30]), tgz)
+            v0x = jnp.where(ok, float(tri[j, 0]), v0x)
+            v0y = jnp.where(ok, float(tri[j, 1]), v0y)
+            v0z = jnp.where(ok, float(tri[j, 2]), v0z)
+            e1x = jnp.where(ok, float(tri[j, 3]), e1x)
+            e1y = jnp.where(ok, float(tri[j, 4]), e1y)
+            e1z = jnp.where(ok, float(tri[j, 5]), e1z)
+            e2x = jnp.where(ok, float(tri[j, 6]), e2x)
+            e2y = jnp.where(ok, float(tri[j, 7]), e2y)
+            e2z = jnp.where(ok, float(tri[j, 8]), e2z)
+            inst_f = jnp.where(ok, float(shade[j, 31]), inst_f)
+
+        # interaction reconstruction (scene/geometry.py surface_interaction)
+        u_b = best_u
+        v_b = best_v
+        w_b = 1.0 - u_b - v_b
+        px = v0x + u_b * e1x + v_b * e2x
+        py = v0y + u_b * e1y + v_b * e2y
+        pz = v0z + u_b * e1z + v_b * e2z
+        nsx = w_b * n0x + u_b * n1x + v_b * n2x
+        nsy = w_b * n0y + u_b * n1y + v_b * n2y
+        nsz = w_b * n0z + u_b * n1z + v_b * n2z
+        ns_len2 = nsx * nsx + nsy * nsy + nsz * nsz
+        inv_ns = 1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(ns_len2, 0.0)), 1e-20)
+        nsx = nsx * inv_ns
+        nsy = nsy * inv_ns
+        nsz = nsz * inv_ns
+        ns_ok = (ns_len2 > 0.25) & jnp.isfinite(nsx) & jnp.isfinite(
+            nsy
+        ) & jnp.isfinite(nsz)
+        nsx = jnp.where(ns_ok, nsx, ngx)
+        nsy = jnp.where(ns_ok, nsy, ngy)
+        nsz = jnp.where(ns_ok, nsz, ngz)
+        flip_ns = _dot(nsx, nsy, nsz, ngx, ngy, ngz) < 0.0
+        nsx = jnp.where(flip_ns, -nsx, nsx)
+        nsy = jnp.where(flip_ns, -nsy, nsy)
+        nsz = jnp.where(flip_ns, -nsz, nsz)
+
+        wox = -dx
+        woy = -dy
+        woz = -dz
+        valid = hitv & active
+
+        # per-instance constants
+        (kd_r, kd_g, kd_b, on_a, on_b, s2s, has_surf, has_light,
+         em_r, em_g, em_b, l2s, l_area) = _select_row(
+            inst_t, jnp.where(valid, inst_f, -1.0),
+            (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12), n_inst)
+
+        # --- emissive hit (bounce_step "hit an emissive instance") --------
+        is_light = valid & (has_light > 0.5)
+        cos_l = _dot(wox, woy, woz, ngx, ngy, ngz)
+        lit = (cos_l > 1e-6) | ((l2s > 0.5) & (jnp.abs(cos_l) > 1e-6))
+        dlx = ox - px
+        dly = oy - py
+        dlz = oz - pz
+        d2 = dlx * dlx + dly * dly + dlz * dlz
+        pdf_hit = jnp.where(
+            lit, d2 / jnp.maximum(jnp.abs(cos_l) * l_area, 1e-12), 0.0
+        ) * jnp.float32(p_light)
+        w_mis_hit = _balance(pdf_bsdf, pdf_hit)
+        add = is_light & lit
+        L_r = jnp.where(add, L_r + beta_r * em_r * w_mis_hit, L_r)
+        L_g = jnp.where(add, L_g + beta_g * em_g * w_mis_hit, L_g)
+        L_b = jnp.where(add, L_b + beta_b * em_b * w_mis_hit, L_b)
+
+        active = valid & (has_surf > 0.5)
+
+        # --- uniform draws (order matches common.bounce_step) -------------
+        st, u_sel = _lcg(st)
+        st, u_l0 = _lcg(st)
+        st, u_l1 = _lcg(st)
+        st, u_lobe = _lcg(st)
+        st, u_b0 = _lcg(st)
+        st, u_b1 = _lcg(st)
+        st, u_rr = _lcg(st)
+
+        # --- shading frame (oriented, two-sided aware) --------------------
+        fr = _frame_from_z_and_hint(nsx, nsy, nsz, tgx, tgy, tgz)
+        sx, sy, sz, tx, ty, tz = fr
+        fnx, fny, fnz = nsx, nsy, nsz
+        flip2 = (_dot(wox, woy, woz, fnx, fny, fnz) < 0.0) & (s2s > 0.5)
+        tx = jnp.where(flip2, -tx, tx)
+        ty = jnp.where(flip2, -ty, ty)
+        tz = jnp.where(flip2, -tz, tz)
+        fnx = jnp.where(flip2, -fnx, fnx)
+        fny = jnp.where(flip2, -fny, fny)
+        fnz = jnp.where(flip2, -fnz, fnz)
+        wol_x = _dot(wox, woy, woz, sx, sy, sz)
+        wol_y = _dot(wox, woy, woz, tx, ty, tz)
+        wol_z = _dot(wox, woy, woz, fnx, fny, fnz)
+        wo_dot_ng = _dot(wox, woy, woz, ngx, ngy, ngz)
+        wo_dot_ns = _dot(wox, woy, woz, fnx, fny, fnz)
+
+        # --- NEE ----------------------------------------------------------
+        if n_entry > 0:
+            u_rel = jnp.clip(u_sel, 0.0, _ONE_MINUS_EPS)
+            entry_f = jnp.minimum(
+                jnp.floor(u_rel * float(n_entry)), float(n_entry - 1)
+            )
+            al_off, tri_cnt, tot_area, el_r, el_g, el_b, el_2s = _select_row(
+                entry_t, entry_f, (0, 1, 2, 4, 5, 6, 7), n_entry)
+            # alias-table triangle pick (lights/diffuse.py _pick_triangle)
+            ux = u_l0 * tri_cnt
+            i0 = jnp.minimum(jnp.floor(ux), tri_cnt - 1.0)
+            i0 = jnp.maximum(i0, 0.0)
+            up = ux - i0
+            g0 = al_off + i0
+            prob0, alias0 = _select_row(light_t, g0, (18, 19), n_light_tri)
+            take_alias = up >= prob0
+            g = jnp.where(take_alias, al_off + alias0, g0)
+            (lv0x, lv0y, lv0z, le1x, le1y, le1z, le2x, le2y, le2z,
+             lngx, lngy, lngz) = _select_row(
+                light_t, g, (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+                n_light_tri)
+            su = jnp.sqrt(jnp.maximum(up, 0.0))
+            b0 = 1.0 - su
+            b1 = u_l1 * su
+            b2 = 1.0 - b0 - b1
+            lpx = lv0x + b1 * le1x + b2 * le2x
+            lpy = lv0y + b1 * le1y + b2 * le2y
+            lpz = lv0z + b1 * le1z + b2 * le2z
+            # direction & pdf (lights/diffuse.py sample)
+            wlx = lpx - px
+            wly = lpy - py
+            wlz = lpz - pz
+            wl_len = jnp.sqrt(
+                jnp.maximum(wlx * wlx + wly * wly + wlz * wlz, 0.0)
+            )
+            inv_wl = 1.0 / jnp.maximum(wl_len, 1e-12)
+            wix = wlx * inv_wl
+            wiy = wly * inv_wl
+            wiz = wlz * inv_wl
+            cos_ll = _dot(-wix, -wiy, -wiz, lngx, lngy, lngz)
+            lit_l = (cos_ll > 1e-6) | ((el_2s > 0.5) & (jnp.abs(cos_ll) > 1e-6))
+            d2l = wlx * wlx + wly * wly + wlz * wlz
+            pdf_nee = jnp.where(
+                lit_l,
+                d2l / jnp.maximum(jnp.abs(cos_ll) * tot_area, 1e-12),
+                0.0,
+            ) * jnp.float32(p_light)
+            Ln_r = jnp.where(lit_l, el_r, 0.0)
+            Ln_g = jnp.where(lit_l, el_g, 0.0)
+            Ln_b = jnp.where(lit_l, el_b, 0.0)
+            pending = active & (pdf_nee > 0.0)
+            nrays = nrays + pending.astype(jnp.int32)
+
+            # shadow ray (core/types.py spawn_ray_to)
+            sgn_f = jnp.where(
+                _dot(ngx, ngy, ngz, wlx, wly, wlz) >= 0.0, 1.0, -1.0
+            )
+            sox = _offset1(px, sgn_f * ngx)
+            soy = _offset1(py, sgn_f * ngy)
+            soz = _offset1(pz, sgn_f * ngz)
+            bx = sox - lpx
+            by = soy - lpy
+            bz = soz - lpz
+            sgn_t = jnp.where(
+                _dot(lngx, lngy, lngz, bx, by, bz) >= 0.0, 1.0, -1.0
+            )
+            sex = _offset1(lpx, sgn_t * lngx)
+            sey = _offset1(lpy, sgn_t * lngy)
+            sez = _offset1(lpz, sgn_t * lngz)
+            sdx = sex - sox
+            sdy = sey - soy
+            sdz = sez - soz
+            s_len = jnp.sqrt(
+                jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 0.0)
+            )
+            inv_s = 1.0 / jnp.maximum(s_len, 1e-20)
+            sdx = sdx * inv_s
+            sdy = sdy * inv_s
+            sdz = sdz * inv_s
+            s_tmax = jnp.where(pending, s_len * (1.0 - 1e-3), 0.0)
+
+            # matte evaluate at wi_nee (surfaces/base.py dispatch "evaluate")
+            wil_x = _dot(wix, wiy, wiz, sx, sy, sz)
+            wil_y = _dot(wix, wiy, wiz, tx, ty, tz)
+            wil_z = _dot(wix, wiy, wiz, fnx, fny, fnz)
+            fe_r, fe_g, fe_b, fe_pdf = _matte_f_pdf(
+                kd_r, kd_g, kd_b, on_a, on_b,
+                wol_x, wol_y, wol_z, wil_x, wil_y, wil_z)
+            # validate_sides (surfaces/base.py)
+            wi_dot_ng = _dot(wix, wiy, wiz, ngx, ngy, ngz)
+            wi_dot_ns = _dot(wix, wiy, wiz, fnx, fny, fnz)
+            side_ok = (wo_dot_ng * wi_dot_ng > 0.0) == (
+                wo_dot_ns * wi_dot_ns > 0.0
+            )
+            fe_r = jnp.where(side_ok, fe_r, 0.0)
+            fe_g = jnp.where(side_ok, fe_g, 0.0)
+            fe_b = jnp.where(side_ok, fe_b, 0.0)
+            fe_pdf = jnp.where(side_ok, fe_pdf, 0.0)
+            w_mis = _safe_div(_balance(pdf_nee, fe_pdf), pdf_nee)
+
+            # occlusion (trace_any over opaque rows)
+            occ = zero > 1.0
+            for j in range(n_tri):
+                if float(tri[j, 9]) == 0.0 or float(tri[j, 10]) == 0.0:
+                    continue  # padding / shadow-transparent: static skip
+                okq, tq, _, _ = _moller_trumbore_row(
+                    tri, j, sox, soy, soz, sdx, sdy, sdz
+                )
+                occ |= okq & (tq > 0.0) & (tq < s_tmax)
+            nee_ok = pending & ~occ
+            cb_r = beta_r * fe_r * Ln_r * w_mis
+            cb_g = beta_g * fe_g * Ln_g * w_mis
+            cb_b = beta_b * fe_b * Ln_b * w_mis
+            L_r = jnp.where(nee_ok, L_r + cb_r, L_r)
+            L_g = jnp.where(nee_ok, L_g + cb_g, L_g)
+            L_b = jnp.where(nee_ok, L_b + cb_b, L_b)
+
+        # --- BSDF sampling (matte cosine hemisphere) ----------------------
+        ddx, ddy = _concentric_disk(u_b0, u_b1)
+        dz_l = jnp.sqrt(jnp.maximum(0.0, 1.0 - ddx * ddx - ddy * ddy))
+        wil_z_s = jnp.where(wol_z < 0.0, -dz_l, dz_l)
+        fs_r, fs_g, fs_b, fs_pdf = _matte_f_pdf(
+            kd_r, kd_g, kd_b, on_a, on_b,
+            wol_x, wol_y, wol_z, ddx, ddy, wil_z_s)
+        nwx = ddx * sx + ddy * tx + wil_z_s * fnx
+        nwy = ddx * sy + ddy * ty + wil_z_s * fny
+        nwz = ddx * sz + ddy * tz + wil_z_s * fnz
+        wi_dot_ng_s = _dot(nwx, nwy, nwz, ngx, ngy, ngz)
+        wi_dot_ns_s = _dot(nwx, nwy, nwz, fnx, fny, fnz)
+        side_ok_s = (wo_dot_ng * wi_dot_ng_s > 0.0) == (
+            wo_dot_ns * wi_dot_ns_s > 0.0
+        )
+        fs_r = jnp.where(side_ok_s, fs_r, 0.0)
+        fs_g = jnp.where(side_ok_s, fs_g, 0.0)
+        fs_b = jnp.where(side_ok_s, fs_b, 0.0)
+        fs_pdf = jnp.where(side_ok_s, fs_pdf, 0.0)
+
+        # spawn the continuation ray (core/types.py spawn_ray)
+        sgn_r = jnp.where(_dot(ngx, ngy, ngz, nwx, nwy, nwz) >= 0.0, 1.0, -1.0)
+        rox = _offset1(px, sgn_r * ngx)
+        roy = _offset1(py, sgn_r * ngy)
+        roz = _offset1(pz, sgn_r * ngz)
+        ox = jnp.where(active, rox, ox)
+        oy = jnp.where(active, roy, oy)
+        oz = jnp.where(active, roz, oz)
+        dx = jnp.where(active, nwx, dx)
+        dy = jnp.where(active, nwy, dy)
+        dz = jnp.where(active, nwz, dz)
+        tmin = jnp.where(active, 0.0, tmin)
+        tmax = jnp.where(active, _F32_BIG, tmax)
+        pdf_bsdf = jnp.where(active, fs_pdf, pdf_bsdf)
+        nb_r = beta_r * _safe_div(fs_r, fs_pdf)
+        nb_g = beta_g * _safe_div(fs_g, fs_pdf)
+        nb_b = beta_b * _safe_div(fs_b, fs_pdf)
+        nb_r = jnp.where(jnp.isfinite(nb_r), nb_r, 0.0)
+        nb_g = jnp.where(jnp.isfinite(nb_g), nb_g, 0.0)
+        nb_b = jnp.where(jnp.isfinite(nb_b), nb_b, 0.0)
+        beta_r = jnp.where(active, nb_r, beta_r)
+        beta_g = jnp.where(active, nb_g, beta_g)
+        beta_b = jnp.where(active, nb_b, beta_b)
+        beta_max = jnp.maximum(beta_r, jnp.maximum(beta_g, beta_b))
+        active = active & (fs_pdf > 0.0) & (beta_max > 0.0)
+
+        # --- Russian roulette (bounce_step) -------------------------------
+        q = jnp.maximum(beta_max, 0.05)
+        do_rr = ((i + 1) >= rr_depth) & active
+        small_q = q < jnp.float32(rr_threshold)
+        kill = do_rr & small_q & (u_rr >= q)
+        boost = jnp.where(
+            do_rr & small_q, 1.0 / jnp.maximum(q, 1e-6), 1.0
+        )
+        beta_r = beta_r * boost
+        beta_g = beta_g * boost
+        beta_b = beta_b * boost
+        active = active & ~kill & ((i + 1) < max_depth)
+        active_f = jnp.where(active, 1.0, 0.0)
+
+        return (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
+                beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf,
+                nrays)
+
+    carry = (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
+             beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf, nrays)
+    if unroll:
+        # static unroll: no loop-carried vregs to spill, and Mosaic hoists
+        # the scalar triangle-table loads across bounces (238 vs 224 Mray/s)
+        for i in range(max_depth):
+            carry = bounce(i, carry)
+    else:
+        # interpret mode traces the body once; unrolling would make the
+        # CPU-interpret tests intractably slow
+        carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
+    (_, _, _, _, _, _, _, _, _,
+     _, _, _, L_r, L_g, L_b, _, _, nrays) = carry
+    lr_o[0] = L_r
+    lg_o[0] = L_g
+    lb_o[0] = L_b
+    nrays_o[0] = nrays
+
+
+_ray_spec = pl.BlockSpec(
+    (1, SUB, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+)
+_table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def camgen_params(camera, time=0.0):
+    """Static in-kernel camera-generation parameters, or None when the
+    camera/filter combination needs the general outside path. Covers pinhole
+    (no lens sampling) + box filter (analytic offsets) + no clip planes."""
+    if type(camera).__name__ != "PinholeCamera":
+        return None
+    if type(camera.filter).__name__ != "BoxFilter":
+        return None
+    if camera.clip_plane is not None:
+        return None
+    c2w = np.asarray(camera.camera_to_world(float(time)), np.float32)
+    resx, resy = camera.film.resolution
+    tan_half = float(np.tan(np.deg2rad(camera.fov) * 0.5))
+    p = {
+        "radius": float(camera.filter.radius),
+        "resx": float(resx),
+        "resy": float(resy),
+        "s": float(tan_half / resy),
+    }
+    for r in range(3):
+        for c in range(4):
+            p[f"c{r}{c}"] = float(c2w[r, c])
+    return p
+
+
+def _host_tables(compiled):
+    """Scene-static tables snapshotted to HOST numpy, cached per compiled
+    scene. Read from compiled.arrays (the concrete originals), so this works
+    even while the caller is being jit-traced with a donated arrays pytree.
+    The kernel bakes these as float literals — per-scene specialization, so
+    scene edits require recompiling the scene (exactly the reference's
+    LuisaCompute JIT contract)."""
+    cached = getattr(compiled, "_fused_host_tables", None)
+    if cached is None:
+        # pure-numpy table build: jnp ops here would be captured by any
+        # enclosing jit trace (ops trace even on concrete inputs)
+        tr = compiled.arrays["trace"]
+        v0 = np.asarray(tr["tri_v0"])
+        e1 = np.asarray(tr["tri_e1"])
+        e2 = np.asarray(tr["tri_e2"])
+        valid = (np.asarray(tr["prim_index"]) >= 0).astype(np.float32)
+        opaque = np.asarray(tr["tri_opaque"]).astype(np.float32)
+        pcount = v0.shape[0]
+        tri = np.zeros((pcount, 16), np.float32)
+        tri[:, 0:3] = v0
+        tri[:, 3:6] = e1
+        tri[:, 6:9] = e2
+        tri[:, 9] = valid
+        tri[:, 10] = opaque
+        cached = {
+            "tri": tri,
+            "shade": np.asarray(tr["shade_table"]),
+            "inst": np.asarray(compiled.arrays["fused"]["inst_table"]),
+            "entry": np.asarray(compiled.arrays["fused"]["entry_table"]),
+            "light": np.asarray(compiled.arrays["light_tri_rows"]),
+        }
+        compiled._fused_host_tables = cached
+    return cached
+
+
+def _run_kernel(compiled, arrays, comps, n, nb, in_specs, *, cam,
+                max_depth, rr_depth, rr_threshold, interpret):
+    tables = _host_tables(compiled)
+    n_entry = compiled.plan.num_lights
+    kernel = partial(
+        _fused_kernel,
+        tables=tables,
+        n_tri=int(tables["tri"].shape[0]),
+        n_inst=int(tables["inst"].shape[0]),
+        n_entry=int(n_entry),
+        n_light_tri=int(tables["light"].shape[0]),
+        max_depth=int(max_depth),
+        rr_depth=int(rr_depth),
+        rr_threshold=float(rr_threshold),
+        p_light=1.0 / max(n_entry, 1),
+        unroll=UNROLL_DEPTH and not interpret,
+        cam=cam,
+    )
+    lr, lg, lb, nrays = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[_ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, SUB, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*comps)
+    rgb = jnp.stack(
+        [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
+    )
+    return rgb, jnp.sum(nrays.reshape(-1)[:n])
+
+
+def _blocked(x, pad, nb, fill=0.0):
+    return jnp.pad(x, (0, pad), constant_values=fill).reshape(nb, SUB, 128)
+
+
+def trace_paths_fused(
+    compiled, arrays, rays, cam_weight, state0, *, max_depth, rr_depth,
+    rr_threshold, interpret=False,
+):
+    """Run the fused whole-path kernel on pre-generated camera rays.
+    Returns (rgb (N, 3), n_rays scalar).
+
+    rays: camera rays (core/types.py Ray, (N,) batch); cam_weight (N,);
+    state0 (N,) uint32 independent-sampler state ALREADY advanced past the
+    pixel-filter (and lens) draws, exactly as the unfused path's state is
+    when entering the bounce loop."""
+    n = rays.origin.shape[0]
+    pad = (-n) % BLK
+    nb = (n + pad) // BLK
+    comps = [
+        _blocked(rays.origin[:, 0], pad, nb),
+        _blocked(rays.origin[:, 1], pad, nb),
+        _blocked(rays.origin[:, 2], pad, nb),
+        _blocked(rays.direction[:, 0], pad, nb),
+        _blocked(rays.direction[:, 1], pad, nb, 1.0),
+        _blocked(rays.direction[:, 2], pad, nb),
+        _blocked(rays.t_min, pad, nb),
+        _blocked(rays.t_max, pad, nb, -1.0),
+        _blocked(cam_weight, pad, nb),
+        _blocked(state0, pad, nb),
+    ]
+    return _run_kernel(
+        compiled, arrays, comps, n, nb, [_ray_spec] * 10, cam=None,
+        max_depth=max_depth, rr_depth=rr_depth, rr_threshold=rr_threshold,
+        interpret=interpret,
+    )
+
+
+_smem_spec = pl.BlockSpec(
+    (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+)
+
+
+def trace_paths_fused_camgen(
+    compiled, arrays, cam, pixel_xy, sample_index, *, max_depth, rr_depth,
+    rr_threshold, interpret=False,
+):
+    """Fused kernel with IN-KERNEL camera-ray generation AND sampler
+    seeding: per-lane inputs are just the pixel ids (sample-invariant, so
+    XLA hoists their upload out of the per-sample loop); the sample index
+    rides in as one SMEM scalar. The kernel mirrors rng.seed_pixels ->
+    generate_pixel_2d -> box filter -> pinhole -> camera_to_world."""
+    n = pixel_xy.shape[0]
+    pad = (-n) % BLK
+    nb = (n + pad) // BLK
+    comps = [
+        _blocked(pixel_xy[..., 0], pad, nb),
+        _blocked(pixel_xy[..., 1], pad, nb),
+        jnp.reshape(jnp.asarray(sample_index, jnp.int32), (1, 1)),
+    ]
+    return _run_kernel(
+        compiled, arrays, comps, n, nb,
+        [_ray_spec, _ray_spec, _smem_spec], cam=cam, max_depth=max_depth,
+        rr_depth=rr_depth, rr_threshold=rr_threshold, interpret=interpret,
+    )
+
+
+# Test hook: run the kernel in interpret mode on CPU (tests/test_fused_path.py)
+FORCE_INTERPRET = False
+
+
+def use_fused(compiled, sampler, light_sampler) -> bool:
+    """Runtime eligibility: compile-time plan flag + node types + backend.
+
+    The uniform light sampler's env_prob is irrelevant here: the fused plan
+    has no environment, so p_env resolves to 0 for any setting."""
+    if os.environ.get("LUISARENDER_TPU_NO_FUSED"):
+        return False
+    if not getattr(compiled.plan, "fused_path", False):
+        return False
+    if type(sampler).__name__ != "IndependentSampler":
+        return False
+    if type(light_sampler).__name__ != "UniformLightSampler":
+        return False
+    return FORCE_INTERPRET or jax.default_backend() == "tpu"

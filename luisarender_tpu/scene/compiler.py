@@ -60,6 +60,8 @@ class ScenePlan:
     all_opaque: bool = True  # no shadow-transparent geometry (enables the
     # fused closest+shadow trace in integrators/common.bounce_step)
     two_level: bool = False  # TLAS + shared per-mesh BLAS (accel/twolevel.py)
+    fused_path: bool = False  # whole-path Pallas megakernel eligible
+    # (ops/fused_path.py; arrays["fused"] holds the packed tables)
 
 
 class ShadingContext:
@@ -775,6 +777,29 @@ class SceneCompiler:
         arrays["density_grids"] = jnp.asarray(grids)
         arrays["density_grid_dims"] = jnp.asarray(grid_dims)
 
+        from ..ops.fused_path import build_fused_pack
+
+        fused_pack = build_fused_pack(
+            tuple(self._surface_types),
+            self._surface_rows,
+            tuple(self._light_types),
+            self._light_rows,
+            tuple(self._texture_types),
+            self._texture_rows,
+            inst_rows,
+            light_entries,
+            self.spectrum,
+            int(tv0.shape[0]) if not two_level else 1 << 30,
+            bool(np.all(inst_blocks)),
+            has_env,
+            bool(self._medium_types) or env_medium_ref is not None,
+            two_level,
+        )
+        if fused_pack is not None:
+            arrays["fused"] = {
+                k: jnp.asarray(v) for k, v in fused_pack.items()
+            }
+
         any_nm = any(
             any(int(np.asarray(r.get("normal_map", -1))) >= 0 for r in rows)
             for rows in self._surface_rows
@@ -807,6 +832,7 @@ class SceneCompiler:
             has_media=bool(self._medium_types),
             env_medium_ref=env_medium_ref,
             all_opaque=bool(np.all(inst_blocks)),
+            fused_path=fused_pack is not None,
             needs_uv=any_nm
             or any(
                 rows and cls.impl_names[0] != "constant"

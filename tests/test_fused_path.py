@@ -1,0 +1,98 @@
+"""Fused whole-path Pallas megakernel (ops/fused_path.py) vs the unfused
+XLA bounce loop: same scene, same sampler sequence, interpret mode on CPU.
+
+The two paths share RNG draws and formulas but not float associativity, so
+individual paths can flip at decision boundaries (RR, occlusion, alias pick);
+the comparison is therefore 'almost all lanes bit-close + unbiased agreement
+in the mean', not exact equality.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import luisarender_tpu as lr
+from luisarender_tpu import testing
+from luisarender_tpu.integrators.mega_path import path_trace_batch
+from luisarender_tpu.ops import fused_path
+
+
+def _cornell(res=16, depth=3):
+    scene = lr.Scene.from_dict(
+        testing.cornell_box(resolution=(res, res), spp=4, depth=depth)
+    )
+    return scene, lr.compile_scene(scene)
+
+
+def _trace(scene, compiled, res, si, depth):
+    camera, integ = scene.cameras[0], scene.integrator
+    ys, xs = jnp.meshgrid(
+        jnp.arange(res), jnp.arange(res), indexing="ij"
+    )
+    pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(
+        jnp.int32
+    )
+    rgb, w, stats = path_trace_batch(
+        compiled, compiled.arrays, camera, integ.sampler,
+        integ.light_sampler, pixel_xy, jnp.int32(si),
+        max_depth=depth, rr_depth=0, rr_threshold=0.95, with_stats=True,
+    )
+    return np.asarray(rgb), int(stats["rays"])
+
+
+class TestFusedPath:
+    def test_cornell_plan_is_eligible(self):
+        _, compiled = _cornell()
+        assert compiled.plan.fused_path
+        assert "fused" in compiled.arrays
+        it = np.asarray(compiled.arrays["fused"]["inst_table"])
+        # the light instance carries emission (17, 12, 4) * scale 1
+        assert np.any(np.isclose(it[:, 8], 17.0))
+
+    def test_glass_scene_is_not_eligible(self):
+        d = testing.cornell_box(resolution=(16, 16), spp=1, depth=3)
+        # swap one surface to glass -> fused path must disengage
+        d["render"]["shapes"][0]["prop"]["surface"] = {
+            "impl": "glass", "prop": {}
+        }
+        scene = lr.Scene.from_dict(d)
+        compiled = lr.compile_scene(scene)
+        assert not compiled.plan.fused_path
+
+    def test_matches_unfused(self):
+        res, depth = 16, 3
+        scene, compiled = _cornell(res, depth)
+        acc_ref = np.zeros((res * res, 3))
+        acc_f = np.zeros((res * res, 3))
+        rays_ref = rays_f = 0
+        n_samples = 2
+        for si in range(n_samples):
+            rgb, rays = _trace(scene, compiled, res, si, depth)
+            acc_ref += rgb
+            rays_ref += rays
+        fused_path.FORCE_INTERPRET = True
+        try:
+            assert fused_path.use_fused(
+                compiled, scene.integrator.sampler,
+                scene.integrator.light_sampler,
+            )
+            for si in range(n_samples):
+                rgb, rays = _trace(scene, compiled, res, si, depth)
+                acc_f += rgb
+                rays_f += rays
+        finally:
+            fused_path.FORCE_INTERPRET = False
+        img_ref = acc_ref / n_samples
+        img_f = acc_f / n_samples
+        # ray counts agree to boundary-flip noise
+        assert abs(rays_ref - rays_f) <= max(8, rays_ref // 500), (
+            rays_ref, rays_f,
+        )
+        # almost all lanes bit-close
+        frac_diff = (np.abs(img_ref - img_f).max(-1) > 1e-3).mean()
+        assert frac_diff < 0.02, frac_diff
+        # unbiased agreement in the mean
+        assert abs(img_ref.mean() - img_f.mean()) < 0.02 * max(
+            img_ref.mean(), 1e-6
+        ), (img_ref.mean(), img_f.mean())
