@@ -100,7 +100,7 @@ def main():
 
     res = 1024
     spp_warm = 1
-    spp_bench = 8
+    spp_bench = 32
     depth = 5
 
     scene = lr.Scene.from_dict(

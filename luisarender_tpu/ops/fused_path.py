@@ -410,6 +410,7 @@ def _fused_kernel(
     # instead of a VMEM scalar load + lane broadcast. This is per-scene
     # kernel specialization — exactly the reference's LuisaCompute JIT model.
     tri = tables["tri"]  # (P, 16) np
+    flat_normals = bool(tables.get("flat_normals", False))
     shade = tables["shade"]  # (P, 40) np
     inst_t = tables["inst"]  # (NI, 16) np
     entry_t = tables["entry"]  # (NL, 8) np
@@ -508,15 +509,16 @@ def _fused_kernel(
             ngx = jnp.where(ok, float(shade[j, 9]), ngx)
             ngy = jnp.where(ok, float(shade[j, 10]), ngy)
             ngz = jnp.where(ok, float(shade[j, 11]), ngz)
-            n0x = jnp.where(ok, float(shade[j, 13]), n0x)
-            n0y = jnp.where(ok, float(shade[j, 14]), n0y)
-            n0z = jnp.where(ok, float(shade[j, 15]), n0z)
-            n1x = jnp.where(ok, float(shade[j, 16]), n1x)
-            n1y = jnp.where(ok, float(shade[j, 17]), n1y)
-            n1z = jnp.where(ok, float(shade[j, 18]), n1z)
-            n2x = jnp.where(ok, float(shade[j, 19]), n2x)
-            n2y = jnp.where(ok, float(shade[j, 20]), n2y)
-            n2z = jnp.where(ok, float(shade[j, 21]), n2z)
+            if not flat_normals:
+                n0x = jnp.where(ok, float(shade[j, 13]), n0x)
+                n0y = jnp.where(ok, float(shade[j, 14]), n0y)
+                n0z = jnp.where(ok, float(shade[j, 15]), n0z)
+                n1x = jnp.where(ok, float(shade[j, 16]), n1x)
+                n1y = jnp.where(ok, float(shade[j, 17]), n1y)
+                n1z = jnp.where(ok, float(shade[j, 18]), n1z)
+                n2x = jnp.where(ok, float(shade[j, 19]), n2x)
+                n2y = jnp.where(ok, float(shade[j, 20]), n2y)
+                n2z = jnp.where(ok, float(shade[j, 21]), n2z)
             tgx = jnp.where(ok, float(shade[j, 28]), tgx)
             tgy = jnp.where(ok, float(shade[j, 29]), tgy)
             tgz = jnp.where(ok, float(shade[j, 30]), tgz)
@@ -538,24 +540,31 @@ def _fused_kernel(
         px = v0x + u_b * e1x + v_b * e2x
         py = v0y + u_b * e1y + v_b * e2y
         pz = v0z + u_b * e1z + v_b * e2z
-        nsx = w_b * n0x + u_b * n1x + v_b * n2x
-        nsy = w_b * n0y + u_b * n1y + v_b * n2y
-        nsz = w_b * n0z + u_b * n1z + v_b * n2z
-        ns_len2 = nsx * nsx + nsy * nsy + nsz * nsz
-        inv_ns = 1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(ns_len2, 0.0)), 1e-20)
-        nsx = nsx * inv_ns
-        nsy = nsy * inv_ns
-        nsz = nsz * inv_ns
-        ns_ok = (ns_len2 > 0.25) & jnp.isfinite(nsx) & jnp.isfinite(
-            nsy
-        ) & jnp.isfinite(nsz)
-        nsx = jnp.where(ns_ok, nsx, ngx)
-        nsy = jnp.where(ns_ok, nsy, ngy)
-        nsz = jnp.where(ns_ok, nsz, ngz)
-        flip_ns = _dot(nsx, nsy, nsz, ngx, ngy, ngz) < 0.0
-        nsx = jnp.where(flip_ns, -nsx, nsx)
-        nsy = jnp.where(flip_ns, -nsy, nsy)
-        nsz = jnp.where(flip_ns, -nsz, nsz)
+        if flat_normals:
+            # authored normals == geometric normals everywhere (host check):
+            # the interpolate+normalize+guard+flip chain is the identity
+            nsx, nsy, nsz = ngx, ngy, ngz
+        else:
+            nsx = w_b * n0x + u_b * n1x + v_b * n2x
+            nsy = w_b * n0y + u_b * n1y + v_b * n2y
+            nsz = w_b * n0z + u_b * n1z + v_b * n2z
+            ns_len2 = nsx * nsx + nsy * nsy + nsz * nsz
+            inv_ns = 1.0 / jnp.maximum(
+                jnp.sqrt(jnp.maximum(ns_len2, 0.0)), 1e-20
+            )
+            nsx = nsx * inv_ns
+            nsy = nsy * inv_ns
+            nsz = nsz * inv_ns
+            ns_ok = (ns_len2 > 0.25) & jnp.isfinite(nsx) & jnp.isfinite(
+                nsy
+            ) & jnp.isfinite(nsz)
+            nsx = jnp.where(ns_ok, nsx, ngx)
+            nsy = jnp.where(ns_ok, nsy, ngy)
+            nsz = jnp.where(ns_ok, nsz, ngz)
+            flip_ns = _dot(nsx, nsy, nsz, ngx, ngy, ngz) < 0.0
+            nsx = jnp.where(flip_ns, -nsx, nsx)
+            nsy = jnp.where(flip_ns, -nsy, nsy)
+            nsz = jnp.where(flip_ns, -nsz, nsz)
 
         wox = -dx
         woy = -dy
@@ -868,9 +877,21 @@ def _host_tables(compiled):
         tri[:, 6:9] = e2
         tri[:, 9] = valid
         tri[:, 10] = opaque
+        shade_np = np.asarray(tr["shade_table"])
+        v_rows = valid > 0.0
+        flat = bool(
+            np.all(
+                np.abs(
+                    shade_np[v_rows, 13:22]
+                    - np.tile(shade_np[v_rows, 9:12], 3)
+                )
+                < 1e-7
+            )
+        ) if v_rows.any() else True
         cached = {
             "tri": tri,
-            "shade": np.asarray(tr["shade_table"]),
+            "flat_normals": flat,
+            "shade": shade_np,
             "inst": np.asarray(compiled.arrays["fused"]["inst_table"]),
             "entry": np.asarray(compiled.arrays["fused"]["entry_table"]),
             "light": np.asarray(compiled.arrays["light_tri_rows"]),
