@@ -37,6 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import fused_bsdf as fb
+
 MAX_TRIS = 64  # padded tri-table rows (select-loop unroll bound)
 MAX_INSTANCES = 32
 MAX_LIGHT_TRIS = 8
@@ -52,16 +54,27 @@ _F32_BIG = 3e38  # plain Python float: jnp constants at module scope would be
 # Compile-time pack construction (host, numpy)
 # ---------------------------------------------------------------------------
 
-# inst_table columns (one row per instance):
-#   0:3  kd (albedo-decoded: clipped to [0,1])   3 oren-nayar A   4 oren-nayar B
-#   5    surface two_sided                       6 has_surface
-#   7    has_light                               8:11 emission (illuminant * scale)
-#   11   light two_sided                         12 light total_area
-INST_COLS = 16
+# inst_table v2 columns (one row per instance; union layout over the
+# supported surface types — see ops/fused_bsdf.py ST_* tags):
+#   0     stype
+#   1:4   c0  kd / F0 / tint / kd / Kr
+#   4:7   c1  - / - / - / sigma*thickness / Kt
+#   7:10  c2  metal n (at the sRGB peak wavelengths)
+#   10:13 c3  metal k
+#   13    p0  matte ON-A / plastic eta / glass eta(hero)
+#   14    p1  matte ON-B / plastic kd-luminance / glass Kr-luminance-ratio
+#   15:17 alpha_x, alpha_y (GGX)
+#   17    surface two_sided      18 has_surface     19 has_light
+#   20:23 emission (illuminant * scale)
+#   23    light two_sided        24 light total_area
+INST_COLS = 28
 # entry_table columns (one row per light-list entry):
 #   0 alias_offset  1 tri_count  2 total_area  3 instance id
 #   4:7 emission    7 two_sided
 ENTRY_COLS = 8
+
+_FUSED_SURFACES = ("matte", "mirror", "metal", "plastic", "glass")
+_SRGB_PEAKS = (602.785, 539.285, 445.772)
 
 
 def _const_value(texture_types, texture_rows, handle, default):
@@ -75,6 +88,107 @@ def _const_value(texture_types, texture_rows, handle, default):
     if cls.impl_names[0] != "constant":
         return None
     return np.asarray(texture_rows[type_id][index]["value"], np.float32)
+
+
+def _cie_y(rgb):
+    """host cie_y_of_srgb (core/colorspace.py) on a numpy rgb triple."""
+    from ..core.colorspace import cie_y_of_srgb
+
+    return float(np.asarray(cie_y_of_srgb(np.asarray(rgb, np.float32))))
+
+
+def _fold_alpha(tt, tr, row):
+    """Mirror surfaces/mirror.py _resolve_alpha for constant roughness."""
+    rough = _const_value(tt, tr, row["roughness"], (0.0,) * 4)
+    if rough is None:
+        return None
+    ch = float(row.get("roughness_channels", 1.0))
+    r = rough[:2] if ch >= 1.5 else np.asarray([rough[0], rough[0]])
+    if float(row.get("remap_roughness", 1.0)) > 0.5:
+        a = np.maximum(r * r, 1e-4)
+    else:
+        a = np.maximum(r, 1e-4)
+    return float(a[0]), float(a[1])
+
+
+def _fold_surface(tt, tr, cls, row, out):
+    """Fill the per-type inst_table columns; returns False if unfoldable."""
+    name = cls.impl_names[0]
+    if int(row.get("normal_map", -1)) >= 0 or int(row.get("alpha", -1)) >= 0:
+        return False
+    out[17] = float(row.get("two_sided", 0.0))
+    if name == "matte":
+        kd = _const_value(tt, tr, row["kd"], (1.0, 1.0, 1.0, 0.0))
+        sigma = _const_value(tt, tr, row["sigma"], (0.0,) * 4)
+        if kd is None or sigma is None:
+            return False
+        sg = float(sigma[0]) * (np.pi / 180.0)
+        s2 = sg * sg
+        out[0] = fb.ST_MATTE
+        out[1:4] = np.clip(kd[:3], 0.0, 1.0)
+        out[13] = 1.0 - s2 / (2.0 * (s2 + 0.33))
+        out[14] = 0.45 * s2 / (s2 + 0.09)
+        return True
+    al = _fold_alpha(tt, tr, row)
+    if al is None:
+        return False
+    out[15], out[16] = al
+    if name == "mirror":
+        kd = _const_value(tt, tr, row["kd"], (1.0, 1.0, 1.0, 0.0))
+        if kd is None:
+            return False
+        out[0] = fb.ST_MIRROR
+        out[1:4] = np.clip(kd[:3], 0.0, 1.0)
+        return True
+    if name == "metal":
+        kd = _const_value(tt, tr, row["kd"], (1.0, 1.0, 1.0, 0.0))
+        if kd is None:
+            return False
+        out[0] = fb.ST_METAL
+        out[1:4] = np.clip(kd[:3], 0.0, 1.0)
+        n3 = np.asarray(row["eta_n"], np.float32)
+        k3 = np.asarray(row["eta_k"], np.float32)
+        if float(row.get("ld_valid", 0.0)) > 0.5:
+            from ..surfaces.metal import ld_eta_k
+
+            lam = np.asarray(_SRGB_PEAKS, np.float32)
+            n_ld, k_ld = ld_eta_k(
+                lam, row["ld_wp"], row["ld_f"], row["ld_g"], row["ld_w"]
+            )
+            n3 = np.asarray(n_ld, np.float32)
+            k3 = np.asarray(k_ld, np.float32)
+        out[7:10] = n3
+        out[10:13] = k3
+        return True
+    if name == "plastic":
+        kd = _const_value(tt, tr, row["kd"], (0.5, 0.5, 0.5, 0.0))
+        eta = _const_value(tt, tr, row["eta"], (1.5,) * 4)
+        sig = _const_value(tt, tr, row["sigma_a"], (0.0,) * 4)
+        thick = _const_value(tt, tr, row["thickness"], (1.0,) * 4)
+        if kd is None or eta is None or sig is None or thick is None:
+            return False
+        out[0] = fb.ST_PLASTIC
+        out[1:4] = np.clip(kd[:3], 0.0, 1.0)
+        out[4:7] = sig[:3] * float(thick[0])
+        out[13] = float(eta[0])
+        out[14] = _cie_y(kd[:3])
+        out[17] = 0.0  # plastic ignores the two-sided wrapper (implicit flip)
+        return True
+    if name == "glass":
+        kr = _const_value(tt, tr, row["kr"], (1.0, 1.0, 1.0, 0.0))
+        kt = _const_value(tt, tr, row["kt"], (1.0, 1.0, 1.0, 0.0))
+        if kr is None or kt is None:
+            return False
+        out[0] = fb.ST_GLASS
+        out[1:4] = np.clip(kr[:3], 0.0, 1.0)
+        out[4:7] = np.clip(kt[:3], 0.0, 1.0)
+        lam_um2 = (_SRGB_PEAKS[0] * 1e-3) ** 2
+        out[13] = float(row["cauchy_a"]) + float(row["cauchy_b"]) / lam_um2
+        kr_lum = _cie_y(kr[:3])
+        kt_lum = _cie_y(kt[:3])
+        out[14] = 0.0 if kr_lum <= 0.0 else kr_lum / max(kr_lum + kt_lum, 1e-8)
+        return True
+    return False
 
 
 def build_fused_pack(
@@ -93,7 +207,7 @@ def build_fused_pack(
     has_media,
     two_level,
 ):
-    """Returns {"inst_table": (NI,16), "entry_table": (NL,8)} numpy arrays if
+    """Returns {"inst_table": (NI,28), "entry_table": (NL,8)} numpy arrays if
     the scene qualifies for the fused path, else None."""
     if two_level or has_environment or has_media or not all_opaque:
         return None
@@ -112,41 +226,28 @@ def build_fused_pack(
     ):
         return None
     for cls in surface_types:
-        if cls.impl_names[0] != "matte":
+        if cls.impl_names[0] not in _FUSED_SURFACES:
             return None
     for cls in light_types:
         if cls.impl_names[0] != "diffuse":
             return None
 
-    def surf_row(tag, idx):
-        return surface_rows[tag][idx]
-
     inst_table = np.zeros((ni, INST_COLS), np.float32)
+    # alpha floor everywhere: in mixed-type scenes every type's GGX math runs
+    # on every lane before the select; ax=0 would breed (discarded) inf/NaN
+    inst_table[:, 15:17] = 1e-4
     for i in range(ni):
         stag = int(instances["surface_tag"][i])
         if int(instances["medium_tag"][i]) >= 0:
             return None
         if stag >= 0:
-            row = surf_row(stag, int(instances["surface_index"][i]))
-            if int(row.get("normal_map", -1)) >= 0:
+            cls = surface_types[stag]
+            row = surface_rows[stag][int(instances["surface_index"][i])]
+            if not _fold_surface(
+                texture_types, texture_rows, cls, row, inst_table[i]
+            ):
                 return None
-            if int(row.get("alpha", -1)) >= 0:
-                return None
-            kd = _const_value(
-                texture_types, texture_rows, row["kd"], (1.0, 1.0, 1.0, 0.0)
-            )
-            sigma = _const_value(
-                texture_types, texture_rows, row["sigma"], (0.0,) * 4
-            )
-            if kd is None or sigma is None:
-                return None
-            s = float(sigma[0]) * (np.pi / 180.0)
-            s2 = s * s
-            inst_table[i, 0:3] = np.clip(kd[:3], 0.0, 1.0)
-            inst_table[i, 3] = 1.0 - s2 / (2.0 * (s2 + 0.33))
-            inst_table[i, 4] = 0.45 * s2 / (s2 + 0.09)
-            inst_table[i, 5] = float(row.get("two_sided", 0.0))
-            inst_table[i, 6] = 1.0
+            inst_table[i, 18] = 1.0
         ltag = int(instances["light_tag"][i])
         if ltag >= 0:
             lrow = light_rows[ltag][int(instances["light_index"][i])]
@@ -157,12 +258,12 @@ def build_fused_pack(
             if em is None:
                 return None
             entry = int(instances["light_entry"][i])
-            inst_table[i, 7] = 1.0
-            inst_table[i, 8:11] = (
+            inst_table[i, 19] = 1.0
+            inst_table[i, 20:23] = (
                 np.maximum(em[:3], 0.0) * float(lrow["scale"])
             )
-            inst_table[i, 11] = float(lrow["two_sided"])
-            inst_table[i, 12] = float(light_entries["total_area"][entry])
+            inst_table[i, 23] = float(lrow["two_sided"])
+            inst_table[i, 24] = float(light_entries["total_area"][entry])
 
     entry_table = np.zeros((max(nl, 1), ENTRY_COLS), np.float32)
     for e in range(nl):
@@ -171,8 +272,8 @@ def build_fused_pack(
         entry_table[e, 1] = float(light_entries["tri_count"][e])
         entry_table[e, 2] = float(light_entries["total_area"][e])
         entry_table[e, 3] = float(inst)
-        entry_table[e, 4:7] = inst_table[inst, 8:11]
-        entry_table[e, 7] = inst_table[inst, 11]
+        entry_table[e, 4:7] = inst_table[inst, 20:23]
+        entry_table[e, 7] = inst_table[inst, 23]
     return {
         "inst_table": inst_table,
         "entry_table": entry_table,
@@ -352,41 +453,152 @@ def _select_row(table, idx_f, cols, n_rows):
 # ---------------------------------------------------------------------------
 
 
-def _matte_f_pdf(kd_r, kd_g, kd_b, on_a, on_b, wol_x, wol_y, wol_z,
-                 wil_x, wil_y, wil_z):
-    """Local-frame Oren-Nayar f (with |cos wi|) + cosine pdf
-    (surfaces/matte.py _f_pdf with constant-folded kd/sigma)."""
-    inv_pi = jnp.float32(1.0 / np.pi)
-    cos_o = jnp.abs(wol_z)
-    cos_i = jnp.abs(wil_z)
-    sin2_o = jnp.maximum(1.0 - wol_z * wol_z, 0.0)
-    sin2_i = jnp.maximum(1.0 - wil_z * wil_z, 0.0)
-    sin_o = jnp.sqrt(sin2_o)
-    sin_i = jnp.sqrt(sin2_i)
-    # cos(phi_i - phi_o) via normalized xy projections
-    inv_so = 1.0 / jnp.maximum(sin_o, 1e-20)
-    inv_si = 1.0 / jnp.maximum(sin_i, 1e-20)
-    cos_d_phi = (wil_x * inv_si) * (wol_x * inv_so) + (
-        wil_y * inv_si
-    ) * (wol_y * inv_so)
-    max_cos = jnp.where(
-        (sin_i > 1e-4) & (sin_o > 1e-4), jnp.maximum(cos_d_phi, 0.0), 0.0
-    )
-    o_gt_i = cos_o > cos_i
-    sin_alpha = jnp.where(o_gt_i, sin_i, sin_o)
-    tan_beta = jnp.where(
-        o_gt_i,
-        sin_o / jnp.maximum(cos_o, 1e-6),
-        sin_i / jnp.maximum(cos_i, 1e-6),
-    )
-    on = on_a + on_b * max_cos * sin_alpha * tan_beta
-    same_side = wol_z * wil_z > 0.0
-    scale = jnp.where(same_side, inv_pi * on * cos_i, 0.0)
-    f_r = kd_r * scale
-    f_g = kd_g * scale
-    f_b = kd_b * scale
-    pdf = jnp.where(same_side, cos_i * inv_pi, 0.0)
-    return f_r, f_g, f_b, pdf
+def _dispatch_eval(stypes, ic, stype_f, wol, wil):
+    """(f_r, f_g, f_b, pdf) across the statically-present surface types,
+    selected per lane by the instance's stype. Single-type scenes compile to
+    the bare closure with no select."""
+    def one(t):
+        if t == fb.ST_MATTE:
+            return fb.eval_matte(ic, wol, wil)
+        if t == fb.ST_MIRROR:
+            return fb.eval_mirror_metal(ic, wol, wil, metal=False)
+        if t == fb.ST_METAL:
+            return fb.eval_mirror_metal(ic, wol, wil, metal=True)
+        if t == fb.ST_PLASTIC:
+            return fb.eval_plastic(ic, wol, wil)
+        if t == fb.ST_GLASS:
+            return fb.eval_glass(ic, wol, wil)
+        raise AssertionError(t)
+
+    if len(stypes) == 1:
+        return one(stypes[0])
+    zero = jnp.zeros_like(wol[0])
+    out = [zero, zero, zero, zero]
+    for t in stypes:
+        v = one(t)
+        m = stype_f == float(t)
+        out = [jnp.where(m, v[k], out[k]) for k in range(4)]
+    return tuple(out)
+
+
+def _dispatch_sample_wi(stypes, ic, stype_f, wol, u_lobe, u0, u1):
+    """Per-type BSDF direction sampling in the local (oriented) frame.
+    Returns (wi_l (3,), event, eta) selected per lane; f/pdf come from a
+    subsequent _dispatch_eval at the sampled wi (each type's eval formula is
+    its own sampler's pdf source, mirroring the unfused closures)."""
+    wol_x, wol_y, wol_z = wol
+
+    def one(t):
+        zero = jnp.zeros_like(wol_x)
+        event = jnp.zeros_like(wol_x)  # EVENT_REFLECT, as float for select
+        eta = zero + 1.0
+        valid = zero < 1.0
+        if t == fb.ST_MATTE:
+            ddx, ddy = _concentric_disk(u0, u1)
+            dz_l = jnp.sqrt(jnp.maximum(0.0, 1.0 - ddx * ddx - ddy * ddy))
+            wz = jnp.where(wol_z < 0.0, -dz_l, dz_l)
+            return (ddx, ddy, wz), event, eta, valid
+        if t in (fb.ST_MIRROR, fb.ST_METAL):
+            hx, hy, hz = fb.ggx_sample_wh(
+                wol_x, wol_y, wol_z, u0, u1, ic["ax"], ic["ay"]
+            )
+            d = wol_x * hx + wol_y * hy + wol_z * hz
+            return (
+                (2.0 * d * hx - wol_x, 2.0 * d * hy - wol_y,
+                 2.0 * d * hz - wol_z),
+                event, eta, valid,
+            )
+        if t == fb.ST_PLASTIC:
+            # work in the z-flipped space (plastic's implicit two-sidedness),
+            # then unflip the sampled direction
+            neg = wol_z < 0.0
+            fz = jnp.where(neg, -wol_z, wol_z)
+            f_o = fb.fres_dielectric(jnp.abs(fz), ic["p0"])
+            w = fb.plastic_substrate_weight(ic, f_o)
+            pick_diffuse = u_lobe < w
+            ddx, ddy = _concentric_disk(u0, u1)
+            dz_l = jnp.sqrt(jnp.maximum(0.0, 1.0 - ddx * ddx - ddy * ddy))
+            hx, hy, hz = fb.ggx_sample_wh(
+                wol_x, wol_y, fz, u0, u1, ic["ax"], ic["ay"]
+            )
+            d = wol_x * hx + wol_y * hy + fz * hz
+            cx = 2.0 * d * hx - wol_x
+            cy = 2.0 * d * hy - wol_y
+            cz = 2.0 * d * hz - fz
+            wx = jnp.where(pick_diffuse, ddx, cx)
+            wy = jnp.where(pick_diffuse, ddy, cy)
+            wz = jnp.where(pick_diffuse, dz_l, cz)
+            wz = jnp.where(neg, -wz, wz)
+            return (wx, wy, wz), event, eta, valid
+        if t == fb.ST_GLASS:
+            eta_t = ic["p0"]
+            f_wo = fb.fres_dielectric(wol_z, eta_t)
+            ratio = fb.glass_refl_prob(ic, f_wo)
+            pick_refl = u_lobe < ratio
+            hx, hy, hz = fb.ggx_sample_wh(
+                wol_x, wol_y, wol_z, u0, u1, ic["ax"], ic["ay"]
+            )
+            neg_o = wol_z < 0.0
+            hx = jnp.where(neg_o, -hx, hx)
+            hy = jnp.where(neg_o, -hy, hy)
+            hz = jnp.where(neg_o, -hz, hz)
+            d = wol_x * hx + wol_y * hy + wol_z * hz
+            rx = 2.0 * d * hx - wol_x
+            ry = 2.0 * d * hy - wol_y
+            rz = 2.0 * d * hz - wol_z
+            eta_rel_in = jnp.where(wol_z > 0.0, 1.0 / eta_t, eta_t)
+            negd = d < 0.0
+            thx = jnp.where(negd, -hx, hx)
+            thy = jnp.where(negd, -hy, hy)
+            thz = jnp.where(negd, -hz, hz)
+            ok_t, (ttx, tty, ttz) = fb.refract_c(
+                wol_x, wol_y, wol_z, thx, thy, thz, eta_rel_in
+            )
+            wx = jnp.where(pick_refl, rx, ttx)
+            wy = jnp.where(pick_refl, ry, tty)
+            wz = jnp.where(pick_refl, rz, ttz)
+            event = jnp.where(
+                pick_refl,
+                float(fb.EVENT_REFLECT),
+                jnp.where(
+                    wol_z > 0.0, float(fb.EVENT_ENTER), float(fb.EVENT_EXIT)
+                ),
+            )
+            eta = jnp.zeros_like(wol_x) + ic["p0"]
+            # i1 selects crash Mosaic; express the bool select logically
+            valid = pick_refl | ok_t
+            return (wx, wy, wz), event, eta, valid
+        raise AssertionError(t)
+
+    if len(stypes) == 1:
+        return one(stypes[0])
+    zero = jnp.zeros_like(wol_x)
+    out_wi = [zero, zero, zero + 1.0]
+    out_ev = zero
+    out_eta = zero + 1.0
+    out_valid = zero < 1.0
+    for t in stypes:
+        (wx, wy, wz), ev, eta, valid = one(t)
+        m = stype_f == float(t)
+        out_wi = [
+            jnp.where(m, wx, out_wi[0]),
+            jnp.where(m, wy, out_wi[1]),
+            jnp.where(m, wz, out_wi[2]),
+        ]
+        out_ev = jnp.where(m, ev, out_ev)
+        out_eta = jnp.where(m, eta, out_eta)
+        out_valid = (m & valid) | (~m & out_valid)
+    return tuple(out_wi), out_ev, out_eta, out_valid
+
+
+def _glass_present(stypes):
+    return fb.ST_GLASS in stypes
+
+
+def _validate_needed(stypes):
+    """Glass skips validate_sides in the unfused closures (transmissive);
+    all other supported types apply it."""
+    return [t for t in stypes if t != fb.ST_GLASS]
 
 
 def _sin_cos_phi(x, y, sin_theta):
@@ -396,7 +608,7 @@ def _sin_cos_phi(x, y, sin_theta):
 
 def _fused_kernel(
     *refs,
-    tables, n_tri, n_inst, n_entry, n_light_tri, max_depth, rr_depth,
+    tables, stypes, n_tri, n_inst, n_entry, n_light_tri, max_depth, rr_depth,
     rr_threshold, p_light, unroll, cam=None,
 ):
     if cam is None:
@@ -474,12 +686,13 @@ def _fused_kernel(
     L_b = zero
     active_f = zero + 1.0  # carried as f32: Mosaic rejects i1 vector carries
     pdf_bsdf = zero + 1e16
+    eta_scale = zero + 1.0
     nrays = jnp.zeros(ox.shape, jnp.int32)
 
     def bounce(i, carry):
         (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
          beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf,
-         nrays) = carry
+         eta_scale, nrays) = carry
         active = active_f > 0.5
         nrays = nrays + active.astype(jnp.int32)
 
@@ -571,11 +784,28 @@ def _fused_kernel(
         woz = -dz
         valid = hitv & active
 
-        # per-instance constants
-        (kd_r, kd_g, kd_b, on_a, on_b, s2s, has_surf, has_light,
-         em_r, em_g, em_b, l2s, l_area) = _select_row(
-            inst_t, jnp.where(valid, inst_f, -1.0),
-            (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12), n_inst)
+        # per-instance constants (v2 layout; only the columns the present
+        # surface types need are selected)
+        sel_idx = jnp.where(valid, inst_f, -1.0)
+        base_cols = (0, 17, 18, 19, 20, 21, 22, 23, 24, 1, 2, 3)
+        (stype_f, s2s, has_surf, has_light, em_r, em_g, em_b, l2s, l_area,
+         c0r, c0g, c0b) = _select_row(inst_t, sel_idx, base_cols, n_inst)
+        ic = {"c0r": c0r, "c0g": c0g, "c0b": c0b}
+        if fb.ST_MATTE in stypes or fb.ST_PLASTIC in stypes or (
+            fb.ST_GLASS in stypes
+        ):
+            ic["p0"], ic["p1"] = _select_row(inst_t, sel_idx, (13, 14), n_inst)
+        if any(t != fb.ST_MATTE for t in stypes):
+            ic["ax"], ic["ay"] = _select_row(inst_t, sel_idx, (15, 16), n_inst)
+        if fb.ST_PLASTIC in stypes or fb.ST_GLASS in stypes:
+            ic["c1r"], ic["c1g"], ic["c1b"] = _select_row(
+                inst_t, sel_idx, (4, 5, 6), n_inst
+            )
+        if fb.ST_METAL in stypes:
+            (ic["c2r"], ic["c2g"], ic["c2b"], ic["c3r"], ic["c3g"],
+             ic["c3b"]) = _select_row(
+                inst_t, sel_idx, (7, 8, 9, 10, 11, 12), n_inst
+            )
 
         # --- emissive hit (bounce_step "hit an emissive instance") --------
         is_light = valid & (has_light > 0.5)
@@ -703,19 +933,22 @@ def _fused_kernel(
             sdz = sdz * inv_s
             s_tmax = jnp.where(pending, s_len * (1.0 - 1e-3), 0.0)
 
-            # matte evaluate at wi_nee (surfaces/base.py dispatch "evaluate")
+            # surface evaluate at wi_nee (surfaces/base.py dispatch)
             wil_x = _dot(wix, wiy, wiz, sx, sy, sz)
             wil_y = _dot(wix, wiy, wiz, tx, ty, tz)
             wil_z = _dot(wix, wiy, wiz, fnx, fny, fnz)
-            fe_r, fe_g, fe_b, fe_pdf = _matte_f_pdf(
-                kd_r, kd_g, kd_b, on_a, on_b,
-                wol_x, wol_y, wol_z, wil_x, wil_y, wil_z)
-            # validate_sides (surfaces/base.py)
+            fe_r, fe_g, fe_b, fe_pdf = _dispatch_eval(
+                stypes, ic, stype_f, (wol_x, wol_y, wol_z),
+                (wil_x, wil_y, wil_z),
+            )
+            # validate_sides (surfaces/base.py) — glass closures skip it
             wi_dot_ng = _dot(wix, wiy, wiz, ngx, ngy, ngz)
             wi_dot_ns = _dot(wix, wiy, wiz, fnx, fny, fnz)
             side_ok = (wo_dot_ng * wi_dot_ng > 0.0) == (
                 wo_dot_ns * wi_dot_ns > 0.0
             )
+            if _glass_present(stypes):
+                side_ok = side_ok | (stype_f == float(fb.ST_GLASS))
             fe_r = jnp.where(side_ok, fe_r, 0.0)
             fe_g = jnp.where(side_ok, fe_g, 0.0)
             fe_b = jnp.where(side_ok, fe_b, 0.0)
@@ -739,21 +972,25 @@ def _fused_kernel(
             L_g = jnp.where(nee_ok, L_g + cb_g, L_g)
             L_b = jnp.where(nee_ok, L_b + cb_b, L_b)
 
-        # --- BSDF sampling (matte cosine hemisphere) ----------------------
-        ddx, ddy = _concentric_disk(u_b0, u_b1)
-        dz_l = jnp.sqrt(jnp.maximum(0.0, 1.0 - ddx * ddx - ddy * ddy))
-        wil_z_s = jnp.where(wol_z < 0.0, -dz_l, dz_l)
-        fs_r, fs_g, fs_b, fs_pdf = _matte_f_pdf(
-            kd_r, kd_g, kd_b, on_a, on_b,
-            wol_x, wol_y, wol_z, ddx, ddy, wil_z_s)
-        nwx = ddx * sx + ddy * tx + wil_z_s * fnx
-        nwy = ddx * sy + ddy * ty + wil_z_s * fny
-        nwz = ddx * sz + ddy * tz + wil_z_s * fnz
+        # --- BSDF sampling (per-type lobe sampling + shared eval) ---------
+        (smp_x, smp_y, smp_z), ev_f, eta_smp, samp_ok = _dispatch_sample_wi(
+            stypes, ic, stype_f, (wol_x, wol_y, wol_z), u_lobe, u_b0, u_b1
+        )
+        fs_r, fs_g, fs_b, fs_pdf = _dispatch_eval(
+            stypes, ic, stype_f, (wol_x, wol_y, wol_z),
+            (smp_x, smp_y, smp_z),
+        )
+        fs_pdf = jnp.where(samp_ok, fs_pdf, 0.0)
+        nwx = smp_x * sx + smp_y * tx + smp_z * fnx
+        nwy = smp_x * sy + smp_y * ty + smp_z * fny
+        nwz = smp_x * sz + smp_y * tz + smp_z * fnz
         wi_dot_ng_s = _dot(nwx, nwy, nwz, ngx, ngy, ngz)
         wi_dot_ns_s = _dot(nwx, nwy, nwz, fnx, fny, fnz)
         side_ok_s = (wo_dot_ng * wi_dot_ng_s > 0.0) == (
             wo_dot_ns * wi_dot_ns_s > 0.0
         )
+        if _glass_present(stypes):
+            side_ok_s = side_ok_s | (stype_f == float(fb.ST_GLASS))
         fs_r = jnp.where(side_ok_s, fs_r, 0.0)
         fs_g = jnp.where(side_ok_s, fs_g, 0.0)
         fs_b = jnp.where(side_ok_s, fs_b, 0.0)
@@ -783,10 +1020,21 @@ def _fused_kernel(
         beta_g = jnp.where(active, nb_g, beta_g)
         beta_b = jnp.where(active, nb_b, beta_b)
         beta_max = jnp.maximum(beta_r, jnp.maximum(beta_g, beta_b))
+        if _glass_present(stypes):
+            es_new = jnp.where(
+                ev_f == float(fb.EVENT_ENTER),
+                eta_scale * eta_smp * eta_smp,
+                jnp.where(
+                    ev_f == float(fb.EVENT_EXIT),
+                    eta_scale / jnp.maximum(eta_smp * eta_smp, 1e-12),
+                    eta_scale,
+                ),
+            )
+            eta_scale = jnp.where(active, es_new, eta_scale)
         active = active & (fs_pdf > 0.0) & (beta_max > 0.0)
 
         # --- Russian roulette (bounce_step) -------------------------------
-        q = jnp.maximum(beta_max, 0.05)
+        q = jnp.maximum(beta_max * eta_scale, 0.05)
         do_rr = ((i + 1) >= rr_depth) & active
         small_q = q < jnp.float32(rr_threshold)
         kill = do_rr & small_q & (u_rr >= q)
@@ -801,10 +1049,11 @@ def _fused_kernel(
 
         return (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
                 beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf,
-                nrays)
+                eta_scale, nrays)
 
     carry = (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
-             beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf, nrays)
+             beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf,
+             eta_scale, nrays)
     if unroll:
         # static unroll: no loop-carried vregs to spill, and Mosaic hoists
         # the scalar triangle-table loads across bounces (238 vs 224 Mray/s)
@@ -815,7 +1064,7 @@ def _fused_kernel(
         # CPU-interpret tests intractably slow
         carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
     (_, _, _, _, _, _, _, _, _,
-     _, _, _, L_r, L_g, L_b, _, _, nrays) = carry
+     _, _, _, L_r, L_g, L_b, _, _, _, nrays) = carry
     lr_o[0] = L_r
     lg_o[0] = L_g
     lb_o[0] = L_b
@@ -888,13 +1137,17 @@ def _host_tables(compiled):
                 < 1e-7
             )
         ) if v_rows.any() else True
+        inst_np = np.asarray(compiled.arrays["fused"]["inst_table"])
+        has_surf = inst_np[:, 18] > 0.5
+        stypes = sorted(set(int(t) for t in inst_np[has_surf, 0]))
         cached = {
             "tri": tri,
             "flat_normals": flat,
             "shade": shade_np,
-            "inst": np.asarray(compiled.arrays["fused"]["inst_table"]),
+            "inst": inst_np,
             "entry": np.asarray(compiled.arrays["fused"]["entry_table"]),
             "light": np.asarray(compiled.arrays["light_tri_rows"]),
+            "stypes": stypes or [fb.ST_MATTE],
         }
         compiled._fused_host_tables = cached
     return cached
@@ -907,6 +1160,7 @@ def _run_kernel(compiled, arrays, comps, n, nb, in_specs, *, cam,
     kernel = partial(
         _fused_kernel,
         tables=tables,
+        stypes=tuple(tables["stypes"]),
         n_tri=int(tables["tri"].shape[0]),
         n_inst=int(tables["inst"].shape[0]),
         n_entry=int(n_entry),

@@ -47,18 +47,77 @@ class TestFusedPath:
         assert compiled.plan.fused_path
         assert "fused" in compiled.arrays
         it = np.asarray(compiled.arrays["fused"]["inst_table"])
-        # the light instance carries emission (17, 12, 4) * scale 1
-        assert np.any(np.isclose(it[:, 8], 17.0))
+        # the light instance carries emission (17, 12, 4) * scale 1 (col 20)
+        assert np.any(np.isclose(it[:, 20], 17.0))
 
-    def test_glass_scene_is_not_eligible(self):
+    def test_unsupported_surface_is_not_eligible(self):
         d = testing.cornell_box(resolution=(16, 16), spp=1, depth=3)
-        # swap one surface to glass -> fused path must disengage
+        # disney is outside the fused surface set -> fused path disengages
         d["render"]["shapes"][0]["prop"]["surface"] = {
-            "impl": "glass", "prop": {}
+            "impl": "disney", "prop": {}
         }
         scene = lr.Scene.from_dict(d)
         compiled = lr.compile_scene(scene)
         assert not compiled.plan.fused_path
+
+    @pytest.mark.parametrize(
+        "surf",
+        [
+            {"impl": "mirror",
+             "prop": {"roughness": {"impl": "constant", "prop": {"v": [0.2]}}}},
+            {"impl": "metal",
+             "prop": {"eta": "Au",
+                      "roughness": {"impl": "constant", "prop": {"v": [0.3]}}}},
+            {"impl": "plastic", "prop": {}},
+            {"impl": "glass", "prop": {"material": "bk7"}},
+        ],
+        ids=["mirror", "metal", "plastic", "glass"],
+    )
+    def test_surface_types_match_unfused(self, surf):
+        res, depth = 16, 3
+        d = testing.cornell_box(resolution=(res, res), spp=1, depth=depth)
+        for s0 in d["render"]["shapes"]:
+            if "surface" in s0.get("prop", {}):
+                s0["prop"]["surface"] = surf
+        scene = lr.Scene.from_dict(d)
+        compiled = lr.compile_scene(scene)
+        assert compiled.plan.fused_path
+        rgb_ref, rays_ref = _trace(scene, compiled, res, 0, depth)
+        fused_path.FORCE_INTERPRET = True
+        try:
+            rgb_f, rays_f = _trace(scene, compiled, res, 0, depth)
+        finally:
+            fused_path.FORCE_INTERPRET = False
+        assert abs(rays_ref - rays_f) <= 4, (rays_ref, rays_f)
+        frac = (np.abs(rgb_ref - rgb_f).max(-1) > 1e-3).mean()
+        assert frac < 0.02, frac
+
+    def test_mixed_types_match_unfused(self):
+        res, depth = 16, 3
+        d = testing.cornell_box(resolution=(res, res), spp=1, depth=depth)
+        surfs = [
+            {"impl": "mirror",
+             "prop": {"roughness": {"impl": "constant", "prop": {"v": [0.15]}}}},
+            {"impl": "glass", "prop": {"material": "bk7"}},
+        ]
+        k = 0
+        for s0 in d["render"]["shapes"]:
+            if "surface" in s0.get("prop", {}):
+                if k < len(surfs):
+                    s0["prop"]["surface"] = surfs[k]
+                k += 1
+        scene = lr.Scene.from_dict(d)
+        compiled = lr.compile_scene(scene)
+        assert compiled.plan.fused_path
+        rgb_ref, rays_ref = _trace(scene, compiled, res, 0, depth)
+        fused_path.FORCE_INTERPRET = True
+        try:
+            rgb_f, rays_f = _trace(scene, compiled, res, 0, depth)
+        finally:
+            fused_path.FORCE_INTERPRET = False
+        assert abs(rays_ref - rays_f) <= 4, (rays_ref, rays_f)
+        frac = (np.abs(rgb_ref - rgb_f).max(-1) > 1e-3).mean()
+        assert frac < 0.02, frac
 
     def test_matches_unfused(self):
         res, depth = 16, 3
