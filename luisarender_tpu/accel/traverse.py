@@ -55,6 +55,10 @@ class TraceGeometry(NamedTuple):
     node_count: jnp.ndarray  # (N,) int32 leaf prim count (0 interior)
     leaf_size: int  # static
     num_tris: int  # static (unpadded count)
+    # large-scene cluster tracer tables (ops/cluster_pallas.py); None when
+    # the scene is small enough for brute force / not compiled for TPU
+    cluster_nodes: jnp.ndarray | None = None  # (N', 8) f32
+    cluster_tris: jnp.ndarray | None = None  # (C, 16, 128) f32
 
 
 def intersect_tri(o, d, v0, e1, e2):
@@ -302,6 +306,17 @@ def _use_pallas_brute(geom) -> bool:
     )
 
 
+def _use_cluster(geom) -> bool:
+    """Cluster-streaming Pallas tracer: TPU + tables built at compile."""
+    from ..ops import cluster_pallas
+
+    return (
+        cluster_pallas.ENABLED
+        and geom.cluster_nodes is not None
+        and jax.default_backend() == "tpu"
+    )
+
+
 def trace_closest(geom, rays) -> Hit:
     from . import twolevel
 
@@ -313,6 +328,12 @@ def trace_closest(geom, rays) -> Hit:
 
             return brute_pallas.trace_closest_pallas(geom, rays)
         return trace_closest_brute(geom, rays)
+    if _use_cluster(geom):
+        from ..ops import cluster_pallas
+
+        return cluster_pallas.trace_closest_cluster(
+            geom.cluster_nodes, geom.cluster_tris, rays
+        )
     return trace_closest_bvh(geom, rays)
 
 
@@ -328,5 +349,11 @@ def trace_any(geom, rays):
 
             return brute_pallas.trace_any_pallas(geom, rays)
         return trace_any_brute(geom, rays)
+    if _use_cluster(geom):
+        from ..ops import cluster_pallas
+
+        return cluster_pallas.trace_any_cluster(
+            geom.cluster_nodes, geom.cluster_tris, rays
+        )
     hit = trace_closest_bvh(geom, rays, opaque_only=True)
     return ~hit.miss

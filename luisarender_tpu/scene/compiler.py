@@ -131,6 +131,8 @@ class CompiledScene:
             node_count=a["node_count"],
             leaf_size=self.plan.bvh_leaf_size,
             num_tris=self.plan.num_tris,
+            cluster_nodes=a.get("cluster_nodes"),
+            cluster_tris=a.get("cluster_tris"),
         )
 
 
@@ -658,6 +660,23 @@ class SceneCompiler:
                 tri_inst[np.maximum(bvh.prim_index, 0)]
             ] & (bvh.prim_index >= 0)
             bvh_leaf_size = int(bvh.leaf_size)
+            # cluster-streaming tracer tables for large scenes on TPU
+            # (ops/cluster_pallas.py); canonical slot rides in the table so
+            # its hits index the same shade table as every other tracer
+            cluster_tables = None
+            num_tris_real = triangles.shape[0]
+            if num_tris_real > BRUTE_FORCE_MAX_TRIS:
+                from ..ops.cluster_pallas import build_cluster_tables
+
+                canon_of_orig = np.full(num_tris_real, -1, np.int64)
+                bvalid = bvh.prim_index >= 0
+                canon_of_orig[bvh.prim_index[bvalid]] = np.nonzero(bvalid)[0]
+                cluster_tables = build_cluster_tables(
+                    vertex_p,
+                    triangles,
+                    inst_blocks[tri_inst],
+                    canon_of_orig,
+                )
         else:
             trace2, bvh_leaf_size = self._build_two_level(
                 unique_meshes, inst_mesh_ids, inst_matrices, inst_blocks,
@@ -766,6 +785,9 @@ class SceneCompiler:
         }
         if two_level:
             arrays["trace2"] = trace2
+        elif cluster_tables is not None:
+            arrays["trace"]["cluster_nodes"] = jnp.asarray(cluster_tables[0])
+            arrays["trace"]["cluster_tris"] = jnp.asarray(cluster_tables[1])
         if has_env and hasattr(env, "device_arrays"):
             arrays["environment"] = env.device_arrays()
 

@@ -1,0 +1,190 @@
+"""Benchmark the GENERAL (non-fused) path on a bedroom-class synthetic scene:
+~500k triangles (grid of subdivided icospheres in a box), Disney + checker
+textures, BVH accel, 1280x720 megapath. BASELINE.json config #3 probe."""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import luisarender_tpu as lr
+from luisarender_tpu.integrators.mega_path import path_trace_batch
+
+
+def make_scene(res=(1280, 720), spp=4, depth=5, n=5, subdiv=5, accel="auto"):
+    # n*n spheres, each 20*4^subdiv tris: 5x5 x 20480 = 512000 tris
+    shapes = []
+    # floor + walls: big box
+    def quad(p0, p1, p2, p3, surface, light=None):
+        prop = {
+            "positions": [c for p in (p0, p1, p2, p3) for c in p],
+            "indices": [0, 1, 2, 0, 2, 3],
+            "surface": surface,
+        }
+        if light:
+            prop["light"] = light
+        return {"impl": "inlinemesh", "prop": prop}
+
+    checker = {
+        "impl": "checkerboard",
+        "prop": {
+            "on": {"impl": "constant", "prop": {"v": [0.725, 0.71, 0.68]}},
+            "off": {"impl": "constant", "prop": {"v": [0.2, 0.2, 0.25]}},
+            "scale": [16.0, 16.0],
+        },
+    }
+    floor_mat = {"impl": "matte", "prop": {"Kd": checker}}
+    S = 1000.0
+    shapes.append(quad([0, 0, 0], [S, 0, 0], [S, 0, S], [0, 0, S], floor_mat))
+    # area light panel up top
+    shapes.append(
+        quad(
+            [350, 600, 350],
+            [650, 600, 350],
+            [650, 600, 650],
+            [350, 600, 650],
+            {"impl": "null", "prop": {}},
+            light={
+                "impl": "diffuse",
+                "prop": {"emission": {"impl": "constant", "prop": {"v": [8.0, 7.5, 7.0]}}},
+            },
+        )
+    )
+
+    rough_tex = {"impl": "constant", "prop": {"v": [0.35]}}
+    for i in range(n):
+        for j in range(n):
+            color = [0.3 + 0.6 * i / max(n - 1, 1), 0.4, 0.9 - 0.6 * j / max(n - 1, 1)]
+            mat = {
+                "impl": "disney",
+                "prop": {
+                    "color": {"impl": "constant", "prop": {"v": color}},
+                    "metallic": {"impl": "constant", "prop": {"v": [0.5 * ((i + j) % 2)]}},
+                    "roughness": rough_tex,
+                },
+            }
+            shapes.append(
+                {
+                    "impl": "sphere",
+                    "prop": {
+                        "subdivision": subdiv,
+                        "surface": mat,
+                        "transform": {
+                            "impl": "srt",
+                            "prop": {
+                                "scale": [70, 70, 70],
+                                "translate": [
+                                    150 + 700 * i / max(n - 1, 1),
+                                    80,
+                                    150 + 700 * j / max(n - 1, 1),
+                                ],
+                            },
+                        },
+                    },
+                }
+            )
+
+    d = {
+        "render": {
+            "accel": accel,
+            "cameras": [
+                {
+                    "impl": "pinhole",
+                    "prop": {
+                        "fov": 50.0,
+                        "spp": spp,
+                        "film": {"impl": "color", "prop": {"resolution": list(res)}},
+                        "filter": {"impl": "box", "prop": {}},
+                        "transform": {
+                            "impl": "view",
+                            "prop": {
+                                "origin": [500.0, 350.0, -700.0],
+                                "front": [0.0, -0.25, 1.0],
+                                "up": [0.0, 1.0, 0.0],
+                            },
+                        },
+                    },
+                }
+            ],
+            "integrator": {"impl": "megapath", "prop": {"depth": depth}},
+            "environment": {
+                "impl": "spherical",
+                "prop": {
+                    "emission": {"impl": "constant", "prop": {"v": [0.4, 0.5, 0.7]}},
+                },
+            },
+            "shapes": shapes,
+        }
+    }
+    return d
+
+
+def main():
+    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 5
+    subdiv = int(sys.argv[sys.argv.index("--subdiv") + 1]) if "--subdiv" in sys.argv else 5
+    accel = sys.argv[sys.argv.index("--accel") + 1] if "--accel" in sys.argv else "auto"
+    spp = int(sys.argv[sys.argv.index("--spp") + 1]) if "--spp" in sys.argv else 4
+    depth = 5
+    res = (1280, 720)
+
+    t0 = time.perf_counter()
+    scene = lr.Scene.from_dict(make_scene(res=res, spp=spp, depth=depth, n=n, subdiv=subdiv, accel=accel))
+    compiled = lr.compile_scene(scene)
+    t_compile = time.perf_counter() - t0
+    plan = compiled.plan
+    print(
+        f"scene build+compile {t_compile:.1f}s; tris={compiled.arrays['tri_v0'].shape[0] if 'tri_v0' in compiled.arrays else '?'}",
+        flush=True,
+    )
+    print("plan keys:", {k: v for k, v in vars(plan).items() if not k.startswith('_')} if hasattr(plan, '__dict__') else plan, flush=True)
+
+    camera = scene.cameras[0]
+    integrator = scene.integrator
+    w, h = res
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32), jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+    @jax.jit
+    def bench_pass(arrays, sample_index):
+        rgb, weight, stats = path_trace_batch(
+            compiled, arrays, camera, integrator.sampler, integrator.light_sampler,
+            pixel_xy, sample_index, max_depth=depth,
+            rr_depth=integrator.rr_depth, rr_threshold=integrator.rr_threshold,
+            with_stats=True,
+        )
+        return jnp.sum(rgb), stats["rays"]
+
+    @jax.jit
+    def bench_batch(arrays, s0):
+        def one(i, acc):
+            s_acc, r_acc = acc
+            s, r = bench_pass(arrays, s0 + i)
+            return s_acc + s, r_acc + r
+        return jax.lax.fori_loop(0, spp, one, (jnp.float32(0.0), jnp.int32(0)))
+
+    t0 = time.perf_counter()
+    s, r = bench_batch(compiled.arrays, jnp.int32(0))
+    s.block_until_ready()
+    print(f"jit+first run {time.perf_counter()-t0:.1f}s", flush=True)
+
+    dt = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        s, r = bench_batch(compiled.arrays, jnp.int32(1 + k * spp))
+        total_rays = int(r)
+        float(s)
+        dt = min(dt, time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "meshheavy_1280x720_megapath",
+        "value": round(total_rays / dt / 1e6, 3),
+        "unit": "Mray/s",
+        "rays": total_rays,
+        "dt": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
