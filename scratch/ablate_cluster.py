@@ -54,6 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ENABLED = True
+import os
+ABLATE = os.environ.get('ABLATE', 'full')
 CLUSTER = 128  # triangles per DMA block (= lane width; one (16,128) block)
 LEAF_DIV = 1  # tree leaves per DMA block (leaf = CLUSTER/LEAF_DIV tris);
 # finer-than-block leaves measured SLOWER on v5e (7.7 vs 9.8 Mray/s camera:
@@ -80,7 +82,7 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     canon_of_orig (T,) i32 = canonical sorted slot (the index into the
     shade table / 'trace' arrays) of each ORIGINAL triangle id.
     """
-    from ..accel.bvh import build_bvh
+    from luisarender_tpu.accel.bvh import build_bvh
 
     positions = np.asarray(positions, np.float32)
     triangles = np.asarray(triangles, np.int32)
@@ -255,9 +257,10 @@ def _traverse_kernel(
         sp, nl, steps = jax.lax.while_loop(a_cond, a_body, (sp, 0, steps))
 
         # ---- Phase B: double-buffered DMA + dense cluster tests
-        @pl.when(nl > 0)
-        def _():
-            start_dma(0, 0).start()
+        if ABLATE != 'noB':
+            @pl.when(nl > 0)
+            def _():
+                start_dma(0, 0).start()
 
         def b_body(j, carry):
             best_t, best_s, best_u, best_v = carry
@@ -338,11 +341,14 @@ def _traverse_kernel(
                     half, [_tests_for_half(h) for h in range(LEAF_DIV)], carry
                 )
 
+            if ABLATE == 'noMT':
+                return carry
             return jax.lax.cond(alive, run_half, lambda c: c, carry)
 
-        best_t, best_s, best_u, best_v = jax.lax.fori_loop(
-            0, nl, b_body, (best_t, best_s, best_u, best_v)
-        )
+        if ABLATE != 'noB':
+            best_t, best_s, best_u, best_v = jax.lax.fori_loop(
+                0, nl, b_body, (best_t, best_s, best_u, best_v)
+            )
         return sp, steps, best_t, best_s, best_u, best_v
 
     shape = ox.shape
@@ -445,7 +451,7 @@ _trace.defvjp(_trace_fwd, _trace_bwd)
 
 def trace_closest_cluster(node_table, tri_table, rays, interpret=False):
     """Closest hit; returns Hit with prim = CANONICAL sorted slot (-1 miss)."""
-    from ..core.types import Hit
+    from luisarender_tpu.core.types import Hit
 
     t, slot, u, v = _trace(
         rays.origin, rays.direction, rays.t_min, rays.t_max,
