@@ -12,11 +12,11 @@ the table is ~32 MB — over VMEM — and the XLA while_loop traversal
 
 Design (everything the TPU is good at, nothing it is bad at):
 
-- The BVH is a binned-SAH tree (accel/cpp/bvh_builder.cpp via
-  accel/native.py; numpy Morton fallback) whose leaves hold <= CLUSTER=128
-  triangles; every leaf is padded to one aligned (16, 128) f32 block in
-  HBM, so the coarse tree is tiny (a 512k-tri scene ~ 12k nodes,
-  SMEM/VMEM-resident).
+- The BVH is built over fixed-size *clusters* of CLUSTER=128 consecutive
+  Morton-sorted triangles (accel/bvh.py build_bvh with leaf_size=CLUSTER),
+  so the coarse tree is tiny (2P/128 nodes; a 512k-tri scene = 8k nodes =
+  256 KB, VMEM-resident) and every leaf is one aligned (128, 16) f32 block
+  in HBM.
 - Each grid step owns a BLOCK=1024 ray packet (8x128 vregs). ONE SMEM
   traversal stack is shared by the packet (speculative packet traversal: a
   node is entered when ANY lane hits its AABB) — the idiomatic TPU stand-in
@@ -86,27 +86,14 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     shade table / 'trace' arrays) of each ORIGINAL triangle id.
     """
     from ..accel.bvh import build_bvh
-    from ..accel.native import build_bvh_sah
 
     positions = np.asarray(positions, np.float32)
     triangles = np.asarray(triangles, np.int32)
-    # binned-SAH tree (tight variable-fill leaves => fewer clusters entered
-    # per packet, and better front-to-back order for best_t pruning); numpy
-    # Morton builder as fallback when the native toolchain is unavailable
-    bvh = build_bvh_sah(positions, triangles, leaf_size=CLUSTER)
-    if bvh is None:
-        bvh = build_bvh(positions, triangles, leaf_size=CLUSTER)
-
-    # one padded 128-tri block per leaf, in leaf (pre-)order
-    is_leaf = bvh.node_count > 0
-    leaf_ids = np.nonzero(is_leaf)[0]
-    prim = bvh.prim_index
-    order = np.full((leaf_ids.size, CLUSTER), -1, np.int32)
-    for bi, nid in enumerate(leaf_ids):
-        f = int(bvh.node_first[nid])
-        c = int(bvh.node_count[nid])
-        order[bi, :c] = prim[f:f + c]
-    order = order.reshape(-1)
+    bvh = build_bvh(positions, triangles, leaf_size=CLUSTER)
+    order = bvh.prim_index  # (P,) original ids, -1 padding
+    pad_rows = (-order.shape[0]) % CLUSTER  # 1-leaf tree: pad to a block
+    if pad_rows:
+        order = np.concatenate([order, np.full(pad_rows, -1, order.dtype)])
     p = order.shape[0]
     valid = order >= 0
     safe = np.where(valid, order, 0)
@@ -133,6 +120,7 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     )
 
     n = bvh.aabb_min.shape[0]
+    is_leaf = bvh.node_count > 0
     node = np.zeros((n, NODE_COLS), np.float32)
     node[:, 0:3] = bvh.aabb_min
     node[:, 3:6] = bvh.aabb_max
@@ -143,8 +131,8 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     if interior.size:
         right[interior] = bvh.skip[interior + 1]
     node[:, 6] = right
-    # leaf payload = block index (leaf rank in pre-order); -1 for interior
-    node[:, 7] = np.where(is_leaf, np.cumsum(is_leaf) - 1, -1).astype(
+    # leaf payload = cluster index (node_first / CLUSTER); -1 for interior
+    node[:, 7] = np.where(is_leaf, bvh.node_first // CLUSTER, -1).astype(
         np.float32
     )
     # pad node rows to a lane multiple for the one-hot fetch
@@ -207,10 +195,12 @@ def _slab(row, ox, oy, oz, ix, iy, iz, t_min, t_far):
 def _traverse_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
     node_ref, tri_hbm,
-    t_o, slot_o, u_o, v_o,
+    t_o, slot_o, u_o, v_o, stats_o, bstats_o,
     buf_ref, work_ref, sem_ref, stack_ref, leaf_first_ref, leaf_node_ref,
+    bstat_ref,
     *, opaque_only: bool, max_steps: int, smem_nodes: bool,
 ):
+    bstat_ref[0] = 0
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     t_min = tmin_ref[0]
@@ -220,9 +210,6 @@ def _traverse_kernel(
         return 1.0 / jnp.where(jnp.abs(v) < tiny, jnp.where(v < 0, -tiny, tiny), v)
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-    # packet mean direction (for near-child-first ordering); three one-time
-    # vector->scalar reductions
-    mdx, mdy, mdz = jnp.sum(dx), jnp.sum(dy), jnp.sum(dz)
 
     stack_ref[0] = 0
 
@@ -271,31 +258,10 @@ def _traverse_kernel(
 
             @pl.when(push)
             def _():
-                if smem_nodes:
-                    # ordered traversal: pop the nearer child first (along
-                    # the packet's mean direction) so best_t tightens early
-                    # and prunes the far subtree + later leaf clusters
-                    left = node + 1
-                    lrow = read_node(left)
-                    rrow = read_node(right)
-                    score_l = (
-                        (lrow[0] + lrow[3]) * mdx
-                        + (lrow[1] + lrow[4]) * mdy
-                        + (lrow[2] + lrow[5]) * mdz
-                    )
-                    score_r = (
-                        (rrow[0] + rrow[3]) * mdx
-                        + (rrow[1] + rrow[4]) * mdy
-                        + (rrow[2] + rrow[5]) * mdz
-                    )
-                    l_far = score_l > score_r
-                    stack_ref[sp - 1] = jnp.where(l_far, left, right)
-                    stack_ref[sp] = jnp.where(l_far, right, left)
-                else:
-                    # overwrite the popped slot with the right child, then
-                    # the left child on top (Morton order walk)
-                    stack_ref[sp - 1] = right
-                    stack_ref[sp] = node + 1
+                # overwrite the popped slot with the right child, then the
+                # left child on top so the packet walks in Morton order
+                stack_ref[sp - 1] = right
+                stack_ref[sp] = node + 1
 
             sp = jnp.where(push, sp + 1, sp - 1)
             nl = nl + take_leaf.astype(jnp.int32)
@@ -377,6 +343,7 @@ def _traverse_kernel(
         best_t, best_s, best_u, best_v = jax.lax.fori_loop(
             0, nl, b_body, (best_t, best_s, best_u, best_v)
         )
+        bstat_ref[0] = bstat_ref[0] + nl
         return sp, steps, best_t, best_s, best_u, best_v
 
     shape = ox.shape
@@ -388,10 +355,12 @@ def _traverse_kernel(
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
     )
-    _, _, best_t, best_s, best_u, best_v = jax.lax.while_loop(
+    _, steps_total, best_t, best_s, best_u, best_v = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
     found = best_s >= 0
+    stats_o[0] = jnp.full((SUB, 128), steps_total.astype(jnp.float32))
+    bstats_o[0] = jnp.full((SUB, 128), bstat_ref[0].astype(jnp.float32))
     t_o[0] = jnp.where(found, best_t, jnp.inf)
     slot_o[0] = best_s
     u_o[0] = best_u
@@ -421,51 +390,9 @@ def _ray_blocks(o, d, t_min, t_max):
 
 _ray_spec = pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-MIN_SORT_RAYS = 32768  # below this the sort costs more than it saves
 
-
-def _coherence_keys(o, d, node_table):
-    """Packet-coherence sort keys: origin Morton (6 bits/axis, scene-AABB
-    normalized, from the root node record) major, direction Morton (4
-    bits/axis over [-1,1], top bit = sign/octant) minor.
-
-    The kernel traverses per 1024-ray packet speculatively (a node is
-    entered when ANY lane hits it), so throughput is set by how many
-    clusters the PACKET union touches: measured 14.3 clusters/packet for
-    coherent camera rays vs 94.3 for random bounce rays on the same scene.
-    Sorting bounce/shadow rays into coherent packets recovers most of the
-    gap for the cost of one argsort + two gathers. The direction-minor bits
-    matter for shared-origin ray sets (camera, point-light shadow batches)
-    where the origin cell is degenerate."""
-    lo = node_table[0, 0:3]
-    ext = jnp.maximum(node_table[0, 3:6] - lo, 1e-12)
-    qo = jnp.clip((o - lo) / ext * 63.0, 0.0, 63.0).astype(jnp.uint32)
-    qd = jnp.clip((d * 0.5 + 0.5) * 15.0, 0.0, 15.0).astype(jnp.uint32)
-
-    def spread(x):  # interleave: every 3rd bit (10-bit part1by2)
-        x = (x | (x << 16)) & jnp.uint32(0xFF0000FF)
-        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
-        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
-        x = (x | (x << 2)) & jnp.uint32(0x09249249)
-        return x
-
-    def morton(q):
-        return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-
-    return ((morton(qo) << 12) | morton(qd)).astype(jnp.int32)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _trace(o, d, t_min, t_max, node_table, tri_table,
            opaque_only=False, interpret=False):
-    n = o.shape[0]
-    perm = None
-    if n >= MIN_SORT_RAYS:
-        perm = jnp.argsort(_coherence_keys(o, d, node_table))
-        o = jnp.take(o, perm, axis=0)
-        d = jnp.take(d, perm, axis=0)
-        t_min = jnp.take(t_min, perm, axis=0)
-        t_max = jnp.take(t_max, perm, axis=0)
     comps, n, nb = _ray_blocks(o, d, t_min, jnp.minimum(t_max, jnp.float32(_BIG)))
     max_steps = 4 * node_table.shape[0] + 64
     # small tables walk via SMEM scalar loads; big ones via one-hot MXU
@@ -480,7 +407,7 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
         _traverse_kernel, opaque_only=opaque_only, max_steps=max_steps,
         smem_nodes=smem_nodes,
     )
-    t, slot, u, v = pl.pallas_call(
+    t, slot, u, v, stats, bstats = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[_ray_spec] * 8
@@ -488,10 +415,12 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
             node_spec,  # node table (SMEM flat or VMEM (N,8))
             pl.BlockSpec(memory_space=pltpu.ANY),  # tri table (HBM)
         ],
-        out_specs=[_ray_spec] * 4,
+        out_specs=[_ray_spec] * 6,
         out_shape=[
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
         ],
@@ -502,35 +431,21 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((K_CHUNK,), jnp.int32),
             pltpu.SMEM((K_CHUNK,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
     )(*comps, node_arg, tri_table)
-    outs = (
+    return (
         t.reshape(-1)[:n],
         slot.reshape(-1)[:n],
         u.reshape(-1)[:n],
         v.reshape(-1)[:n],
+        stats,
+        bstats,
     )
-    if perm is not None:
-        outs = tuple(
-            jnp.zeros_like(x).at[perm].set(x, unique_indices=True)
-            for x in outs
-        )
-    return outs
 
 
-def _trace_fwd(o, d, t_min, t_max, node_table, tri_table,
-               opaque_only=False, interpret=False):
-    out = _trace(o, d, t_min, t_max, node_table, tri_table,
-                 opaque_only, interpret)
-    return out, (o, d, t_min, t_max, node_table, tri_table)
 
-
-def _trace_bwd(opaque_only, interpret, res, g):
-    return tuple(jnp.zeros_like(x) for x in res)
-
-
-_trace.defvjp(_trace_fwd, _trace_bwd)
 
 
 def trace_closest_cluster(node_table, tri_table, rays, interpret=False):
