@@ -23,11 +23,19 @@ SAMPLE_MIN = 360.0
 SAMPLE_MAX = 830.0
 
 
+def _xp(x):
+    """numpy for numpy inputs, jnp otherwise — lets import-time host code
+    evaluate the analytic fits without touching a device (a TPU dispatch at
+    import costs a remote kernel compile per process start)."""
+    return np if isinstance(x, (np.ndarray, np.generic, float, int)) else jnp
+
+
 def _gauss_piecewise(x, mu, s1, s2):
     """Piecewise Gaussian with different left/right std devs (Wyman eq. 1)."""
-    s = jnp.where(x < mu, s1, s2)
+    xp = _xp(x)
+    s = xp.where(x < mu, s1, s2)
     t = (x - mu) / s
-    return jnp.exp(-0.5 * t * t)
+    return xp.exp(-0.5 * t * t)
 
 
 def cie_x(lam):
@@ -52,7 +60,7 @@ def cie_z(lam):
 
 def cie_xyz(lam):
     """(...,) nm -> (..., 3) CIE XYZ matching function values."""
-    return jnp.stack([cie_x(lam), cie_y(lam), cie_z(lam)], axis=-1)
+    return _xp(lam).stack([cie_x(lam), cie_y(lam), cie_z(lam)], axis=-1)
 
 
 # Integral of the ybar curve over the visible range (normalization constant for
@@ -79,7 +87,7 @@ def blackbody(lam_nm, temperature):
     c = 2.99792458e8
     kb = 1.380649e-23
     return (2.0 * h * c * c) / (
-        lam**5 * (jnp.exp(h * c / (lam * kb * temperature)) - 1.0)
+        lam**5 * (_xp(lam).exp(h * c / (lam * kb * temperature)) - 1.0)
     )
 
 
@@ -93,5 +101,6 @@ def d65(lam_nm):
     """
     t = 6503.6
     val = blackbody(lam_nm, t)
-    ref = blackbody(jnp.float32(560.0), t)
+    xp = _xp(lam_nm)
+    ref = blackbody(xp.float32(560.0), t)
     return val / ref

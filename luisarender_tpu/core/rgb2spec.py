@@ -38,11 +38,15 @@ _x = (_lam - LAMBDA_MIN) / (LAMBDA_MAX - LAMBDA_MIN)
 
 def _cie_rgb_basis():
     """Rows: weights such that rgb = W @ S(lambda_grid) for a reflectance
-    under D65, normalized so S == 1 gives rgb == (1,1,1)."""
+    under D65, normalized so S == 1 gives rgb == (1,1,1).
+
+    Runs at import: cie fits evaluate in numpy for numpy inputs, so no
+    device dispatch happens here (a TPU dispatch at import costs a remote
+    kernel compile per process start)."""
     xyz_bar = np.stack(
-        [np.asarray(cie.cie_x(_lam)), np.asarray(cie.cie_y(_lam)), np.asarray(cie.cie_z(_lam))]
+        [cie.cie_x(_lam), cie.cie_y(_lam), cie.cie_z(_lam)]
     )  # (3, L)
-    d65 = np.asarray(cie.d65(_lam))
+    d65 = cie.d65(_lam)
     w_xyz = xyz_bar * d65  # (3, L)
     rgb_w = SRGB_FROM_XYZ.astype(np.float64) @ w_xyz  # (3, L)
     # normalize per-row? No: normalize by response to S=1 (white) per channel

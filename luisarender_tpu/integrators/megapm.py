@@ -87,10 +87,11 @@ class PhotonMapping(ProgressiveIntegrator):
 
         emission = None
         for t, light_cls in enumerate(plan.light_types):
-            rows = {
-                k: v[jnp.clip(index, 0, v.shape[0] - 1)]
-                for k, v in arrays["lights"][t].items()
-            }
+            from ..core.fetch import gather_param_rows
+
+            # ctx.arrays, not raw arrays: light rows gain their hoisted
+            # constant-texture columns at context construction
+            rows = gather_param_rows(ctx.arrays["lights"][t], index)
             e = light_cls.sample_le(rows, ctx, entries, u_pos, u_dir, swl)
             if emission is None:
                 emission = e

@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.fetch import gather_param_rows
+
 from ..scene.scene import SceneNode
 
 
@@ -42,17 +44,16 @@ class Light(SceneNode):
 
 
 def _gather_rows(params, index):
-    out = {}
-    for k, v in params.items():
-        out[k] = v[jnp.clip(index, 0, v.shape[0] - 1)]
-    return out
+    return gather_param_rows(params, index)
 
 
 def dispatch_evaluate(ctx, it_light, p_from, swl):
     """Polymorphic light evaluation at a hit point on an emissive instance."""
     inst = ctx.arrays["instances"]
-    tag = inst["light_tag"][it_light.inst]
-    index = inst["light_index"][it_light.inst]
+    meta = gather_param_rows(
+        {"tag": inst["light_tag"], "idx": inst["light_index"]}, it_light.inst
+    )
+    tag, index = meta["tag"], meta["idx"]
     shape = it_light.p.shape[:-1]
     result = {
         "L": jnp.zeros(shape + (swl.dimension,), jnp.float32),
@@ -80,8 +81,10 @@ def dispatch_sample(ctx, entry_index, p_from, u, swl):
     entries = ctx.arrays["light_entries"]
     inst_id = entries["inst"][entry_index]
     inst = ctx.arrays["instances"]
-    tag = inst["light_tag"][inst_id]
-    index = inst["light_index"][inst_id]
+    meta = gather_param_rows(
+        {"tag": inst["light_tag"], "idx": inst["light_index"]}, inst_id
+    )
+    tag, index = meta["tag"], meta["idx"]
     shape = p_from.shape[:-1]
     result = {
         "L": jnp.zeros(shape + (swl.dimension,), jnp.float32),

@@ -15,7 +15,12 @@ from ..core import sampling
 from ..core.fetch import fetch_rows
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import Light
 
 
@@ -28,18 +33,17 @@ class DiffuseLight(Light):
         self.two_sided = desc.bool("two_sided", False)
 
     def compile(self, compiler) -> dict:
-        return {
-            "emission": np.int32(
-                self.emission.compile(compiler) if self.emission else NULL_HANDLE
-            ),
+        row = {
             "scale": np.float32(self.scale),
             "two_sided": np.float32(1.0 if self.two_sided else 0.0),
         }
+        compile_tex_param(compiler, self.emission, row, "emission")
+        return row
 
     @staticmethod
     def _radiance(params, ctx, it_light, swl):
-        rgba = evaluate_handles(
-            ctx, params["emission"], it_light, default=(1.0, 1.0, 1.0, 0.0)
+        rgba = evaluate_param(
+            ctx, params, "emission", it_light, default=(1.0, 1.0, 1.0, 0.0)
         )
         L = ctx.spectrum.decode_illuminant(rgba[..., :3], swl)
         return L * params["scale"][..., None]

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..core.fetch import gather_param_rows
 import numpy as np
 
 from ..scene.node import SceneNodeDesc, SceneNodeTag
@@ -173,7 +175,7 @@ class HomogeneousMedium(Medium):
 
 
 def _gather_rows(params, index):
-    return {k: v[jnp.clip(index, 0, v.shape[0] - 1)] for k, v in params.items()}
+    return gather_param_rows(params, index)
 
 
 def dispatch(ctx, medium_tag, medium_index, method, *args, init):

@@ -462,10 +462,13 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
     perm = None
     if n >= MIN_SORT_RAYS:
         perm = jnp.argsort(_coherence_keys(o, d, node_table))
-        o = jnp.take(o, perm, axis=0)
-        d = jnp.take(d, perm, axis=0)
-        t_min = jnp.take(t_min, perm, axis=0)
-        t_max = jnp.take(t_max, perm, axis=0)
+        # ONE packed row gather (TPU gathers pay ~ms-scale per-call overhead
+        # at 1M indices; 4 separate takes measured ~4x the cost of one)
+        packed = jnp.concatenate(
+            [o, d, t_min[:, None], t_max[:, None]], axis=1
+        )[perm]
+        o, d = packed[:, 0:3], packed[:, 3:6]
+        t_min, t_max = packed[:, 6], packed[:, 7]
     comps, n, nb = _ray_blocks(o, d, t_min, jnp.minimum(t_max, jnp.float32(_BIG)))
     max_steps = 4 * node_table.shape[0] + 64
     # small tables walk via SMEM scalar loads; big ones via one-hot MXU
@@ -512,9 +515,24 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
         v.reshape(-1)[:n],
     )
     if perm is not None:
-        outs = tuple(
-            jnp.zeros_like(x).at[perm].set(x, unique_indices=True)
-            for x in outs
+        # one packed row scatter back to ray order (slot rides bitcast)
+        packed = jnp.stack(
+            [
+                outs[0],
+                jax.lax.bitcast_convert_type(outs[1], jnp.float32),
+                outs[2],
+                outs[3],
+            ],
+            axis=1,
+        )
+        unpacked = jnp.zeros_like(packed).at[perm].set(
+            packed, unique_indices=True
+        )
+        outs = (
+            unpacked[:, 0],
+            jax.lax.bitcast_convert_type(unpacked[:, 1], jnp.int32),
+            unpacked[:, 2],
+            unpacked[:, 3],
         )
     return outs
 

@@ -64,13 +64,51 @@ class ScenePlan:
     # (ops/fused_path.py; arrays["fused"] holds the packed tables)
 
 
+def _hoist_constants(arrays):
+    """Materialize per-instance constant-texture values into parameter rows.
+
+    For every `<name>__src` column written by compile_tex_param, gathers the
+    referenced constant-table rows into `<name>__s` (values) / `<name>__f`
+    (hoisted flag) — tiny per-INSTANCE gathers, traced once per pass, so
+    per-ray texture evaluation becomes a row read while gradients still flow
+    through arrays["textures"]["constant"]["value"]."""
+    const = arrays.get("textures", {}).get("constant", {}).get("value")
+
+    def hoist_table(table):
+        out = dict(table)
+        for k in list(table):
+            if not k.endswith("__src"):
+                continue
+            name = k[: -len("__src")]
+            src = table[k]
+            if const is None:
+                vals = jnp.zeros(src.shape + (4,), jnp.float32)
+            else:
+                vals = const[jnp.clip(src, 0, const.shape[0] - 1)]
+            hoisted = src >= 0
+            out[name + "__s"] = jnp.where(hoisted[..., None], vals, 0.0)
+            out[name + "__f"] = hoisted.astype(jnp.float32)
+            del out[k]
+        return out
+
+    out = dict(arrays)
+    for group in ("surfaces", "lights", "media"):
+        if group in out:
+            out[group] = [hoist_table(t) for t in out[group]]
+    if "textures" in out:
+        out["textures"] = {
+            k: hoist_table(t) for k, t in out["textures"].items()
+        }
+    return out
+
+
 class ShadingContext:
     """Bundles device arrays + static plan + scene-static host objects for
     device-side closures (the analogue of the Pipeline& every reference
     closure captures)."""
 
     def __init__(self, arrays, plan, spectrum, environment=None):
-        self.arrays = arrays
+        self.arrays = _hoist_constants(arrays)
         self.plan = plan
         self.spectrum = spectrum
         self.environment = environment
@@ -472,7 +510,12 @@ class SceneCompiler:
         elif accel_mode == "flat":
             two_level = False
         else:
-            two_level = flat_tris > 4 * uniq_tris and flat_tris > 100_000
+            # Flat + cluster-streaming Pallas tracing handles multi-million-
+            # triangle scenes at 7-11 Mray/s; the two-level gather-based walk
+            # is lane-divergent and an order of magnitude slower on TPU, so
+            # auto only switches when flattening would truly blow up HBM
+            # (tables scale ~150 B/tri: 8M flattened tris ~ 1.2 GB).
+            two_level = flat_tris > 4 * uniq_tris and flat_tris > 8_000_000
 
         all_p, all_n, all_uv, all_t, all_ti = [], [], [], [], []
         inst_rows = {
@@ -691,9 +734,17 @@ class SceneCompiler:
             out = []
             for rows in rows_list:
                 keys = rows[0].keys()
-                out.append(
-                    {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in keys}
-                )
+                d = {k: np.stack([r[k] for r in rows]) for k in keys}
+                # constant-hoisted texture params (textures/base.py
+                # compile_tex_param): when EVERY instance of the type hoists
+                # (or has no texture), drop the handle column so the dynamic
+                # texture-evaluation path is never traced
+                for k in list(d):
+                    if k + "__src" in d and np.all(
+                        (d[k + "__src"] >= 0) | (d[k] < 0)
+                    ):
+                        del d[k]
+                out.append({k: jnp.asarray(v) for k, v in d.items()})
             return out
 
         arrays = {
@@ -749,10 +800,7 @@ class SceneCompiler:
             "lights": stack_rows(self._light_rows),
             "media": stack_rows(self._medium_rows),
             "textures": {
-                cls.impl_names[0]: {
-                    k: jnp.asarray(np.stack([r[k] for r in rows]))
-                    for k in (rows[0].keys() if rows else [])
-                }
+                cls.impl_names[0]: stack_rows([rows])[0] if rows else {}
                 for cls, rows in zip(self._texture_types, self._texture_rows)
             },
             "trace": {

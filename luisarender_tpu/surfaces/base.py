@@ -32,8 +32,15 @@ import numpy as np
 import jax
 
 from ..core import frame as fr
+from ..core.fetch import gather_param_rows
 from ..scene.scene import SceneNode
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+    param_present,
+)
 
 # Surface event codes (surface.h:37-41).
 EVENT_REFLECT = 0
@@ -58,15 +65,10 @@ class Surface(SceneNode):
 
     # --- host compile ---
     def compile_common(self, compiler) -> dict:
-        return {
-            "normal_map": np.int32(
-                self.normal_map.compile(compiler) if self.normal_map else NULL_HANDLE
-            ),
-            "alpha": np.int32(
-                self.alpha.compile(compiler) if self.alpha else NULL_HANDLE
-            ),
-            "two_sided": np.float32(1.0 if self.two_sided else 0.0),
-        }
+        row = {"two_sided": np.float32(1.0 if self.two_sided else 0.0)}
+        compile_tex_param(compiler, self.normal_map, row, "normal_map")
+        compile_tex_param(compiler, self.alpha, row, "alpha")
+        return row
 
     def compile(self, compiler) -> dict:
         raise NotImplementedError
@@ -101,11 +103,12 @@ def shading_frame(params, ctx, it):
     """Shading frame with optional tangent-space normal mapping
     (surface.h:217-280 NormalMapWrapper)."""
     frame = it.shading_frame()
-    nm = params.get("normal_map")
-    if nm is not None and ctx.plan.any_normal_maps:
-        mapped = evaluate_handles(ctx, nm, it, default=(0.5, 0.5, 1.0, 0.0))[..., :3]
+    if "normal_map__s" in params and ctx.plan.any_normal_maps:
+        mapped = evaluate_param(
+            ctx, params, "normal_map", it, default=(0.5, 0.5, 1.0, 0.0)
+        )[..., :3]
         n_local = fr.normalize(mapped * 2.0 - 1.0)
-        has = (nm >= 0)[..., None]
+        has = param_present(params, "normal_map")[..., None]
         n_world = fr.normalize(fr.to_world(frame, n_local))
         n = jnp.where(has, n_world, frame["n"])
         frame = fr.frame_from_z_and_hint(n, it.tangent)
@@ -141,12 +144,7 @@ def validate_sides(it, frame, wo, wi, f, pdf):
 
 
 def _gather_rows(params, index):
-    n = None
-    out = {}
-    for k, v in params.items():
-        n = v.shape[0]
-        out[k] = v[jnp.clip(index, 0, n - 1)]
-    return out
+    return gather_param_rows(params, index)
 
 
 def dispatch(ctx, it, method, *args, init):
@@ -156,8 +154,10 @@ def dispatch(ctx, it, method, *args, init):
     Returns a pytree like the per-type results.
     """
     inst = ctx.arrays["instances"]
-    tag = inst["surface_tag"][it.inst]
-    index = inst["surface_index"][it.inst]
+    meta = gather_param_rows(
+        {"tag": inst["surface_tag"], "idx": inst["surface_index"]}, it.inst
+    )
+    tag, index = meta["tag"], meta["idx"]
     result = init
     for t, surf_cls in enumerate(ctx.plan.surface_types):
         mask = it.valid & (tag == t)
@@ -188,8 +188,10 @@ def dispersive_mask(ctx, it):
     """Per-ray: did this ray hit a dispersive surface (glass with nonzero
     Cauchy B)? Drives swl.terminate_secondary (mega_path.cpp:117-119)."""
     inst = ctx.arrays["instances"]
-    tag = inst["surface_tag"][it.inst]
-    index = inst["surface_index"][it.inst]
+    meta = gather_param_rows(
+        {"tag": inst["surface_tag"], "idx": inst["surface_index"]}, it.inst
+    )
+    tag, index = meta["tag"], meta["idx"]
     mask = jnp.zeros(it.inst.shape, bool)
     for t, surf_cls in enumerate(ctx.plan.surface_types):
         fn = getattr(surf_cls, "is_dispersive_rows", None)

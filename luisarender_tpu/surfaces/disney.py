@@ -26,7 +26,12 @@ from ..core import sampling
 from ..core.colorspace import cie_y_of_srgb
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import (
     EVENT_ENTER,
     EVENT_EXIT,
@@ -95,12 +100,9 @@ class DisneySurface(Surface):
 
     def compile(self, compiler) -> dict:
         row = self.compile_common(compiler)
-        row["color"] = np.int32(
-            self.color.compile(compiler) if self.color else NULL_HANDLE
-        )
+        compile_tex_param(compiler, self.color, row, "color")
         for name in _TEX_PARAMS:
-            tex = getattr(self, name)
-            row[name] = np.int32(tex.compile(compiler) if tex else NULL_HANDLE)
+            compile_tex_param(compiler, getattr(self, name), row, name)
         row["thin"] = np.float32(1.0 if self.thin else 0.0)
         row["remap_roughness"] = np.float32(1.0 if self.remap_roughness else 0.0)
         return row
@@ -109,12 +111,11 @@ class DisneySurface(Surface):
     @staticmethod
     def _ctx(params, ctx, it, swl):
         def tex(name, default):
-            return evaluate_handles(ctx, params[name], it, default=(default,) * 4)[
+            return evaluate_param(ctx, params, name, it, default=(default,) * 4)[
                 ..., 0
             ]
 
-        color_rgba = evaluate_handles(
-            ctx, params["color"], it, default=(0.5, 0.5, 0.5, 0.0)
+        color_rgba = evaluate_param(ctx, params, "color", it, default=(0.5, 0.5, 0.5, 0.0)
         )
         c = {
             "color": ctx.spectrum.decode_albedo(color_rgba[..., :3], swl),
@@ -427,10 +428,10 @@ class DisneySurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        rgba = evaluate_handles(ctx, params["color"], it, default=(0.5,) * 3 + (0.0,))
+        rgba = evaluate_param(ctx, params, "color", it, default=(0.5,) * 3 + (0.0,))
         return ctx.spectrum.decode_albedo(rgba[..., :3], swl)
 
     @staticmethod
     def roughness(params, ctx, it):
-        r = evaluate_handles(ctx, params["roughness"], it, default=(0.5,) * 4)[..., 0]
+        r = evaluate_param(ctx, params, "roughness", it, default=(0.5,) * 4)[..., 0]
         return jnp.stack([r, r], axis=-1)

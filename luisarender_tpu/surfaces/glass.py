@@ -19,7 +19,12 @@ from ..core import frame as fr
 from ..core import microfacet as mf
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import (
     EVENT_ENTER,
     EVENT_EXIT,
@@ -144,11 +149,9 @@ class GlassSurface(Surface):
 
     def compile(self, compiler) -> dict:
         row = self.compile_common(compiler)
-        row["kr"] = np.int32(self.kr.compile(compiler) if self.kr else NULL_HANDLE)
-        row["kt"] = np.int32(self.kt.compile(compiler) if self.kt else NULL_HANDLE)
-        row["roughness"] = np.int32(
-            self.roughness.compile(compiler) if self.roughness else NULL_HANDLE
-        )
+        compile_tex_param(compiler, self.kr, row, "kr")
+        compile_tex_param(compiler, self.kt, row, "kt")
+        compile_tex_param(compiler, self.roughness, row, "roughness")
         row["roughness_channels"] = np.float32(
             self.roughness.channels if self.roughness else 1
         )
@@ -172,8 +175,8 @@ class GlassSurface(Surface):
 
     @staticmethod
     def _textures(params, ctx, it, swl):
-        kr = evaluate_handles(ctx, params["kr"], it, default=(1.0,) * 3 + (0.0,))
-        kt = evaluate_handles(ctx, params["kt"], it, default=(1.0,) * 3 + (0.0,))
+        kr = evaluate_param(ctx, params, "kr", it, default=(1.0,) * 3 + (0.0,))
+        kt = evaluate_param(ctx, params, "kt", it, default=(1.0,) * 3 + (0.0,))
         kr_s = ctx.spectrum.decode_albedo(kr[..., :3], swl)
         kt_s = ctx.spectrum.decode_albedo(kt[..., :3], swl)
         from ..core.colorspace import cie_y_of_srgb
@@ -298,7 +301,7 @@ class GlassSurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        kr = evaluate_handles(ctx, params["kr"], it, default=(1.0,) * 3 + (0.0,))
+        kr = evaluate_param(ctx, params, "kr", it, default=(1.0,) * 3 + (0.0,))
         return ctx.spectrum.decode_albedo(kr[..., :3], swl)
 
     @staticmethod

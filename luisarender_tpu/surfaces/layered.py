@@ -27,7 +27,12 @@ from ..core import frame as fr
 from ..core import microfacet as mf
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import EVENT_REFLECT, PROPERTY_REFLECTIVE, Surface
 from .mirror import _resolve_alpha
 
@@ -54,7 +59,7 @@ def _monomorphized(inner_cls):
         def _coat(params, ctx, it, swl, wo_l, wi_l):
             """Coat reflection lobe (f WITHOUT cos) + its pdf + Fresnel Ts."""
             alpha = _resolve_alpha(params, ctx, it)
-            eta = evaluate_handles(ctx, params["eta"], it, default=(1.5,) * 4)[
+            eta = evaluate_param(ctx, params, "eta", it, default=(1.5,) * 4)[
                 ..., 0
             ]
             wh = fr.normalize(wo_l + wi_l)
@@ -78,11 +83,9 @@ def _monomorphized(inner_cls):
             cos_i = fr.abs_cos_theta(wi_l)
             t_o = 1.0 - mf.fresnel_dielectric(cos_o, jnp.ones_like(eta), eta)
             t_i = 1.0 - mf.fresnel_dielectric(cos_i, jnp.ones_like(eta), eta)
-            sig = evaluate_handles(
-                ctx, params["sigma_a"], it, default=(0.0,) * 4
+            sig = evaluate_param(ctx, params, "sigma_a", it, default=(0.0,) * 4
             )
-            thick = evaluate_handles(
-                ctx, params["thickness"], it, default=(1.0,) * 4
+            thick = evaluate_param(ctx, params, "thickness", it, default=(1.0,) * 4
             )[..., 0]
             sigma = ctx.spectrum.decode_unbounded(sig[..., :3], swl) * thick[
                 ..., None
@@ -149,7 +152,7 @@ def _monomorphized(inner_cls):
             frame = it.shading_frame()
             wo_l = fr.to_local(frame, wo)
             alpha = _resolve_alpha(params, ctx, it)
-            eta = evaluate_handles(ctx, params["eta"], it, default=(1.5,) * 4)[
+            eta = evaluate_param(ctx, params, "eta", it, default=(1.5,) * 4)[
                 ..., 0
             ]
             w = LayeredMono._coat_weight(params, ctx, it, swl, wo_l, eta)
@@ -221,7 +224,7 @@ class LayeredSurface(Surface):
             ("sigma_a", self.sigma_a),
             ("thickness", self.thickness),
         ):
-            row[name] = np.int32(tex.compile(compiler) if tex else NULL_HANDLE)
+            compile_tex_param(compiler, tex, row, name)
         row["roughness_channels"] = np.float32(
             self.roughness_tex.channels if self.roughness_tex else 1
         )

@@ -13,7 +13,12 @@ from ..core import frame as fr
 from ..core import sampling
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import (
     EVENT_REFLECT,
     PROPERTY_REFLECTIVE,
@@ -34,12 +39,8 @@ class MatteSurface(Surface):
 
     def compile(self, compiler) -> dict:
         row = self.compile_common(compiler)
-        row["kd"] = np.int32(
-            self.kd.compile(compiler) if self.kd else NULL_HANDLE
-        )
-        row["sigma"] = np.int32(
-            self.sigma.compile(compiler) if self.sigma else NULL_HANDLE
-        )
+        compile_tex_param(compiler, self.kd, row, "kd")
+        compile_tex_param(compiler, self.sigma, row, "sigma")
         return row
 
     # --- device closure ---
@@ -55,9 +56,9 @@ class MatteSurface(Surface):
     @staticmethod
     def _f_pdf(params, ctx, it, swl, wo_local, wi_local):
         """Local-frame Oren-Nayar f (with |cos wi|) and cosine pdf."""
-        kd_rgba = evaluate_handles(ctx, params["kd"], it, default=(1.0, 1.0, 1.0, 0.0))
+        kd_rgba = evaluate_param(ctx, params, "kd", it, default=(1.0, 1.0, 1.0, 0.0))
         albedo = ctx.spectrum.decode_albedo(kd_rgba[..., :3], swl)
-        sigma = evaluate_handles(ctx, params["sigma"], it, default=(0.0,) * 4)[..., 0]
+        sigma = evaluate_param(ctx, params, "sigma", it, default=(0.0,) * 4)[..., 0]
         a, b = MatteSurface._oren_nayar_ab(sigma)
 
         cos_o = fr.abs_cos_theta(wo_local)
@@ -111,7 +112,7 @@ class MatteSurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        kd_rgba = evaluate_handles(ctx, params["kd"], it, default=(1.0, 1.0, 1.0, 0.0))
+        kd_rgba = evaluate_param(ctx, params, "kd", it, default=(1.0, 1.0, 1.0, 0.0))
         return ctx.spectrum.decode_albedo(kd_rgba[..., :3], swl)
 
     @staticmethod

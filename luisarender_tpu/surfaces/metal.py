@@ -20,7 +20,12 @@ from ..core import microfacet as mf
 from ..core.spectrum import SRGB_PEAK_WAVELENGTHS
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import (
     EVENT_REFLECT,
     PROPERTY_REFLECTIVE,
@@ -163,14 +168,12 @@ class MetalSurface(Surface):
 
     def compile(self, compiler) -> dict:
         row = self.compile_common(compiler)
-        row["roughness"] = np.int32(
-            self.roughness.compile(compiler) if self.roughness else NULL_HANDLE
-        )
+        compile_tex_param(compiler, self.roughness, row, "roughness")
         row["roughness_channels"] = np.float32(
             self.roughness.channels if self.roughness else 1
         )
         row["remap_roughness"] = np.float32(1.0 if self.remap_roughness else 0.0)
-        row["kd"] = np.int32(self.kd.compile(compiler) if self.kd else NULL_HANDLE)
+        compile_tex_param(compiler, self.kd, row, "kd")
         row["eta_n"] = self.n3
         row["eta_k"] = self.k3
         ld = self.ld
@@ -203,7 +206,7 @@ class MetalSurface(Surface):
         d = mf.ggx_d(wh, alpha)
         g = mf.ggx_g(wo_l, wi_l, alpha)
         fres = MetalSurface._fresnel(params, ctx, swl, fr.dot(wi_l, wh))
-        kd = evaluate_handles(ctx, params["kd"], it, default=(1.0,) * 3 + (0.0,))
+        kd = evaluate_param(ctx, params, "kd", it, default=(1.0,) * 3 + (0.0,))
         tint = ctx.spectrum.decode_albedo(kd[..., :3], swl)
         f = tint * fres * (d * g / jnp.maximum(4.0 * cos_o, 1e-8))[..., None]
         pdf = mf.ggx_pdf(wo_l, wh, alpha) / jnp.maximum(

@@ -15,7 +15,12 @@ from ..core import frame as fr
 from ..core import microfacet as mf
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import (
     EVENT_REFLECT,
     PROPERTY_REFLECTIVE,
@@ -26,7 +31,7 @@ from .base import (
 
 
 def _resolve_alpha(params, ctx, it):
-    rough = evaluate_handles(ctx, params["roughness"], it, default=(0.0,) * 4)
+    rough = evaluate_param(ctx, params, "roughness", it, default=(0.0,) * 4)
     r = rough[..., :2]
     # scalar roughness textures broadcast to isotropic alpha
     iso = (params["roughness_channels"] < 1.5)[..., None]
@@ -47,10 +52,8 @@ class MirrorSurface(Surface):
 
     def compile(self, compiler) -> dict:
         row = self.compile_common(compiler)
-        row["kd"] = np.int32(self.kd.compile(compiler) if self.kd else NULL_HANDLE)
-        row["roughness"] = np.int32(
-            self.roughness.compile(compiler) if self.roughness else NULL_HANDLE
-        )
+        compile_tex_param(compiler, self.kd, row, "kd")
+        compile_tex_param(compiler, self.roughness, row, "roughness")
         row["roughness_channels"] = np.float32(
             self.roughness.channels if self.roughness else 1
         )
@@ -59,7 +62,7 @@ class MirrorSurface(Surface):
 
     @staticmethod
     def _eval_local(params, ctx, it, swl, wo_l, wi_l):
-        kd = evaluate_handles(ctx, params["kd"], it, default=(1.0, 1.0, 1.0, 0.0))
+        kd = evaluate_param(ctx, params, "kd", it, default=(1.0, 1.0, 1.0, 0.0))
         f0 = ctx.spectrum.decode_albedo(kd[..., :3], swl)
         alpha = _resolve_alpha(params, ctx, it)
         wh = fr.normalize(wo_l + wi_l)
@@ -106,7 +109,7 @@ class MirrorSurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        kd = evaluate_handles(ctx, params["kd"], it, default=(1.0, 1.0, 1.0, 0.0))
+        kd = evaluate_param(ctx, params, "kd", it, default=(1.0, 1.0, 1.0, 0.0))
         return ctx.spectrum.decode_albedo(kd[..., :3], swl)
 
     @staticmethod

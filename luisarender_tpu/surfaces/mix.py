@@ -15,7 +15,12 @@ import numpy as np
 
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import Surface
 
 _MONO_CACHE: dict = {}
@@ -44,7 +49,7 @@ def _monomorphized(cls_a, cls_b):
 
         @staticmethod
         def _ratio(params, ctx, it):
-            r = evaluate_handles(ctx, params["ratio"], it, default=(0.5,) * 4)
+            r = evaluate_param(ctx, params, "ratio", it, default=(0.5,) * 4)
             return jnp.clip(r[..., 0], 0.0, 1.0)
 
         @staticmethod
@@ -137,7 +142,5 @@ class MixSurface(Surface):
             row[f"a_{k}"] = v
         for k, v in row_b.items():
             row[f"b_{k}"] = v
-        row["ratio"] = np.int32(
-            self.ratio.compile(compiler) if self.ratio else NULL_HANDLE
-        )
+        compile_tex_param(compiler, self.ratio, row, "ratio")
         return row

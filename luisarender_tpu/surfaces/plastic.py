@@ -19,7 +19,12 @@ from ..core import sampling
 from ..core.colorspace import cie_y_of_srgb
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
-from ..textures.base import NULL_HANDLE, evaluate_handles
+from ..textures.base import (
+    NULL_HANDLE,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 from .base import (
     EVENT_REFLECT,
     PROPERTY_REFLECTIVE,
@@ -52,7 +57,7 @@ class PlasticSurface(Surface):
             ("eta", self.eta),
             ("thickness", self.thickness),
         ):
-            row[name] = np.int32(tex.compile(compiler) if tex else NULL_HANDLE)
+            compile_tex_param(compiler, tex, row, name)
         row["roughness_channels"] = np.float32(
             self.roughness.channels if self.roughness else 1
         )
@@ -63,12 +68,12 @@ class PlasticSurface(Surface):
 
     @staticmethod
     def _ctx(params, ctx, it, swl):
-        kd_rgba = evaluate_handles(ctx, params["kd"], it, default=(0.5,) * 3 + (0.0,))
+        kd_rgba = evaluate_param(ctx, params, "kd", it, default=(0.5,) * 3 + (0.0,))
         kd = ctx.spectrum.decode_albedo(kd_rgba[..., :3], swl)
         kd_lum = cie_y_of_srgb(kd_rgba[..., :3])
-        eta = evaluate_handles(ctx, params["eta"], it, default=(1.5,) * 4)[..., 0]
-        sig = evaluate_handles(ctx, params["sigma_a"], it, default=(0.0,) * 4)
-        thick = evaluate_handles(ctx, params["thickness"], it, default=(1.0,) * 4)[
+        eta = evaluate_param(ctx, params, "eta", it, default=(1.5,) * 4)[..., 0]
+        sig = evaluate_param(ctx, params, "sigma_a", it, default=(0.0,) * 4)
+        thick = evaluate_param(ctx, params, "thickness", it, default=(1.0,) * 4)[
             ..., 0
         ]
         sigma = ctx.spectrum.decode_unbounded(sig[..., :3], swl) * thick[..., None]
@@ -168,7 +173,7 @@ class PlasticSurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        kd = evaluate_handles(ctx, params["kd"], it, default=(0.5,) * 3 + (0.0,))
+        kd = evaluate_param(ctx, params, "kd", it, default=(0.5,) * 3 + (0.0,))
         return ctx.spectrum.decode_albedo(kd[..., :3], swl)
 
     @staticmethod

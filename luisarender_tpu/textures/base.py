@@ -55,6 +55,63 @@ class Texture(SceneNode):
 MAX_NEST = 3
 
 
+def compile_tex_param(compiler, tex, row, name):
+    """Register a texture-valued parameter with constant hoisting.
+
+    Adds `name` (handle) and `name__src` (row index into the constant
+    texture table when the texture is a plain constant, else -1). At
+    ShadingContext construction — inside the traced render, once per pass —
+    the constant rows are hoisted per-INSTANCE into `name__s`/`name__f`
+    columns, so per-ray evaluation reads the value straight from the
+    gathered parameter row with no texture-table fetch, while gradients
+    still flow to the constant table (the inverse-rendering parameter
+    vector, diff/render.py). When EVERY instance of a type hoists, the
+    handle column is dropped at stack time (scene/compiler.py stack_rows)
+    and the dynamic texture path is not even traced. The device-side
+    analogue of the reference's constant folding into pipeline constant
+    slots (/root/reference/src/textures/constant.cpp,
+    base/pipeline.cpp:174-187)."""
+    from .constant import ConstantTexture
+
+    handle = np.int32(compiler.compile_texture(tex) if tex is not None else NULL_HANDLE)
+    src = -1
+    if tex is not None and isinstance(tex, ConstantTexture):
+        src = int(handle) & HANDLE_INDEX_MASK
+    row[name] = handle
+    row[name + "__src"] = np.int32(src)
+
+
+def param_present(params, name):
+    """Per-ray bool: does this parameter have a texture (folded or dynamic)?"""
+    folded = params[name + "__f"] > 0.5
+    handles = params.get(name)
+    return folded if handles is None else (folded | (handles >= 0))
+
+
+def evaluate_param(ctx, params, name, it, default=(0.0, 0.0, 0.0, 0.0), depth=0):
+    """Evaluate a texture parameter from a gathered row dict -> (..., 4).
+
+    Folded instances read `name__s` directly; only when some instance of the
+    type is dynamic (handle column survived stacking) is the polymorphic
+    texture evaluation traced, with folded lanes masked out of it."""
+    static = params[name + "__s"]
+    folded = params[name + "__f"] > 0.5
+    base = jnp.broadcast_to(
+        jnp.asarray(default, jnp.float32), static.shape
+    )
+    handles = params.get(name)
+    if handles is None:  # every instance folded or textureless
+        return jnp.where(folded[..., None], static, base)
+    dyn = evaluate_handles(
+        ctx,
+        jnp.where(folded, jnp.int32(NULL_HANDLE), handles),
+        it,
+        default=default,
+        depth=depth,
+    )
+    return jnp.where(folded[..., None], static, dyn)
+
+
 def evaluate_handles(ctx, handles, it, default=(0.0, 0.0, 0.0, 0.0), depth=0):
     """Evaluate per-ray texture handles -> (..., 4) float32.
 

@@ -126,7 +126,9 @@ class ImageTexture(Texture):
         rects = ctx.arrays["texture_atlas_rects"]  # (n_levels, 4) x,y,w,h
         mips = ctx.arrays["texture_atlas_mips"]  # (n_images, 2) offset,count
         atlas = ctx.arrays["texture_atlas"]  # (H, W, 4)
-        r = {k: v[index] for k, v in rows.items()}
+        from ..core.fetch import gather_param_rows
+
+        r = gather_param_rows(rows, index)
         from ..texturemappings.impls import apply_mapping
 
         uv = apply_mapping(r["mapping_type"], r["mapping_params"], it)

@@ -16,7 +16,14 @@ import numpy as np
 from ..scene.node import SceneNodeTag
 from ..scene.registry import register
 from ..texturemappings.impls import apply_mapping
-from .base import NULL_HANDLE, Texture, evaluate_handles
+from ..core.fetch import gather_param_rows
+from .base import (
+    NULL_HANDLE,
+    Texture,
+    compile_tex_param,
+    evaluate_handles,
+    evaluate_param,
+)
 
 
 @register(SceneNodeTag.TEXTURE, "checkerboard", "Checkerboard")
@@ -41,33 +48,27 @@ class CheckerboardTexture(Texture):
             if self.mapping is not None
             else np.asarray([1, 1, 0, 0], np.float32)
         )
-        return compiler.register_texture_row(
-            CheckerboardTexture,
-            {
-                "on": np.int32(self.on.compile(compiler) if self.on else NULL_HANDLE),
-                "off": np.int32(
-                    self.off.compile(compiler) if self.off else NULL_HANDLE
-                ),
-                "uv_scale": np.asarray(self.uv_scale, np.float32),
-                "mapping_type": np.int32(
-                    self.mapping.type_id if self.mapping else 0
-                ),
-                "mapping_params": m_params,
-            },
-        )
+        row = {
+            "uv_scale": np.asarray(self.uv_scale, np.float32),
+            "mapping_type": np.int32(self.mapping.type_id if self.mapping else 0),
+            "mapping_params": m_params,
+        }
+        compile_tex_param(compiler, self.on, row, "on")
+        compile_tex_param(compiler, self.off, row, "off")
+        return compiler.register_texture_row(CheckerboardTexture, row)
 
     @staticmethod
     def evaluate_rows(ctx, index, it, depth=0):
         rows = ctx.arrays["textures"]["checkerboard"]
-        r = {k: v[index] for k, v in rows.items()}
+        r = gather_param_rows(rows, index)
         uv = apply_mapping(r["mapping_type"], r["mapping_params"], it)
         uv = uv * r["uv_scale"]
         cell = (jnp.floor(uv[..., 0]) + jnp.floor(uv[..., 1])).astype(jnp.int32) % 2
-        on = evaluate_handles(
-            ctx, r["on"], it, default=(1.0, 1.0, 1.0, 1.0), depth=depth + 1
+        on = evaluate_param(
+            ctx, r, "on", it, default=(1.0, 1.0, 1.0, 1.0), depth=depth + 1
         )
-        off = evaluate_handles(
-            ctx, r["off"], it, default=(0.0, 0.0, 0.0, 1.0), depth=depth + 1
+        off = evaluate_param(
+            ctx, r, "off", it, default=(0.0, 0.0, 0.0, 1.0), depth=depth + 1
         )
         return jnp.where((cell == 0)[..., None], on, off)
 
@@ -94,21 +95,25 @@ class SwizzleTexture(Texture):
     def channels(self):
         return self._channels
 
+    def evaluate_static(self):
+        b = self.base_tex.evaluate_static()
+        if b is None:
+            return None
+        b = np.asarray(b, np.float32).reshape(-1)
+        b = np.concatenate([b, np.zeros(4 - b.shape[0], np.float32)])
+        return b[self.codes]
+
     def compile(self, compiler) -> int:
-        return compiler.register_texture_row(
-            SwizzleTexture,
-            {
-                "base": np.int32(self.base_tex.compile(compiler)),
-                "codes": self.codes,
-            },
-        )
+        row = {"codes": self.codes}
+        compile_tex_param(compiler, self.base_tex, row, "base")
+        return compiler.register_texture_row(SwizzleTexture, row)
 
     @staticmethod
     def evaluate_rows(ctx, index, it, depth=0):
         rows = ctx.arrays["textures"]["swizzle"]
-        r = {k: v[index] for k, v in rows.items()}
-        base = evaluate_handles(
-            ctx, r["base"], it, default=(0.0, 0.0, 0.0, 0.0), depth=depth + 1
+        r = gather_param_rows(rows, index)
+        base = evaluate_param(
+            ctx, r, "base", it, default=(0.0, 0.0, 0.0, 0.0), depth=depth + 1
         )
         return jnp.take_along_axis(base, r["codes"], axis=-1)
 
@@ -132,17 +137,24 @@ class ScaleTexture(Texture):
     def channels(self):
         return self.base_tex.channels
 
+    def evaluate_static(self):
+        b = self.base_tex.evaluate_static()
+        if b is None:
+            return None
+        b = np.asarray(b, np.float32).reshape(-1)
+        b = np.concatenate([b, np.ones(4 - b.shape[0], np.float32)])
+        return b * self.s
+
     def compile(self, compiler) -> int:
-        return compiler.register_texture_row(
-            ScaleTexture,
-            {"base": np.int32(self.base_tex.compile(compiler)), "scale": self.s},
-        )
+        row = {"scale": self.s}
+        compile_tex_param(compiler, self.base_tex, row, "base")
+        return compiler.register_texture_row(ScaleTexture, row)
 
     @staticmethod
     def evaluate_rows(ctx, index, it, depth=0):
         rows = ctx.arrays["textures"]["scale"]
-        r = {k: v[index] for k, v in rows.items()}
-        base = evaluate_handles(
-            ctx, r["base"], it, default=(1.0, 1.0, 1.0, 1.0), depth=depth + 1
+        r = gather_param_rows(rows, index)
+        base = evaluate_param(
+            ctx, r, "base", it, default=(1.0, 1.0, 1.0, 1.0), depth=depth + 1
         )
         return base * r["scale"]

@@ -70,9 +70,11 @@ class TestParser:
         scene = lr.Scene.from_dict(d)
         assert scene.shapes[0].surface is scene.shapes[1].surface
         compiled = lr.compile_scene(scene)
-        # one surface type, one row (deduped)
+        # one surface type, one row (deduped); the constant Kd hoists so the
+        # handle column is dropped and only kd__src survives stacking
         assert len(compiled.plan.surface_types) == 1
-        assert compiled.arrays["surfaces"][0]["kd"].shape[0] == 1
+        assert compiled.arrays["surfaces"][0]["kd__src"].shape[0] == 1
+        assert "kd" not in compiled.arrays["surfaces"][0]
 
     def test_undefined_reference_raises(self):
         d = _minimal_scene()
