@@ -459,16 +459,23 @@ def _coherence_keys(o, d, node_table):
 def _trace(o, d, t_min, t_max, node_table, tri_table,
            opaque_only=False, interpret=False):
     n = o.shape[0]
-    perm = None
+    orig = None
     if n >= MIN_SORT_RAYS:
-        perm = jnp.argsort(_coherence_keys(o, d, node_table))
-        # ONE packed row gather (TPU gathers pay ~ms-scale per-call overhead
-        # at 1M indices; 4 separate takes measured ~4x the cost of one)
-        packed = jnp.concatenate(
-            [o, d, t_min[:, None], t_max[:, None]], axis=1
-        )[perm]
-        o, d = packed[:, 0:3], packed[:, 3:6]
-        t_min, t_max = packed[:, 6], packed[:, 7]
+        # Apply the coherence permutation with VARIADIC SORTS, not
+        # gather/scatter: XLA TPU gathers/scatters with 1M dynamic indices
+        # run effectively serially (measured ~15 ms per gather and ~37 ms
+        # per scatter per call), while lax.sort is a fast parallel network —
+        # carrying the ray components as sort payloads costs ~2-6 ms total.
+        # The original index rides along; the outputs sort back by it.
+        key = _coherence_keys(o, d, node_table)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        (_, ox, oy, oz, dx, dy, dz, t_min, t_max, orig) = jax.lax.sort(
+            (key, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2], t_min, t_max, iota),
+            num_keys=1,
+        )
+        o = jnp.stack([ox, oy, oz], axis=-1)
+        d = jnp.stack([dx, dy, dz], axis=-1)
     comps, n, nb = _ray_blocks(o, d, t_min, jnp.minimum(t_max, jnp.float32(_BIG)))
     max_steps = 4 * node_table.shape[0] + 64
     # small tables walk via SMEM scalar loads; big ones via one-hot MXU
@@ -514,26 +521,11 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
         u.reshape(-1)[:n],
         v.reshape(-1)[:n],
     )
-    if perm is not None:
-        # one packed row scatter back to ray order (slot rides bitcast)
-        packed = jnp.stack(
-            [
-                outs[0],
-                jax.lax.bitcast_convert_type(outs[1], jnp.float32),
-                outs[2],
-                outs[3],
-            ],
-            axis=1,
+    if orig is not None:
+        _, t_u, s_u, u_u, v_u = jax.lax.sort(
+            (orig,) + outs, num_keys=1
         )
-        unpacked = jnp.zeros_like(packed).at[perm].set(
-            packed, unique_indices=True
-        )
-        outs = (
-            unpacked[:, 0],
-            jax.lax.bitcast_convert_type(unpacked[:, 1], jnp.int32),
-            unpacked[:, 2],
-            unpacked[:, 3],
-        )
+        outs = (t_u, s_u, u_u, v_u)
     return outs
 
 

@@ -174,8 +174,9 @@ def main():
         t0 = time.perf_counter()
         s, r = bench_batch(compiled.arrays, jnp.int32(1 + k * spp))
         total_rays = int(r)
-        float(s)
+        sv = float(s)
         dt = min(dt, time.perf_counter() - t0)
+        print(f"k={k} rays={total_rays} rgb_sum={sv:.2f} dt={time.perf_counter()-t0:.2f}", flush=True)
 
     print(json.dumps({
         "metric": "meshheavy_1280x720_megapath",

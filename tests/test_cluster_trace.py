@@ -156,3 +156,52 @@ def test_compiler_attaches_cluster_tables():
     valid = np.asarray(tr["cluster_tris"])[:, 9, :].ravel() > 0
     got = np.sort(slots[valid].astype(np.int64))
     assert np.array_equal(got, np.arange(compiled.plan.num_tris))
+
+
+def test_sorted_path_matches_unsorted(monkeypatch):
+    """The coherence-sort wrapper (cluster_pallas._trace sorts rays into
+    Morton packets and sorts hits back by the carried original index) must be
+    a pure permutation round-trip: bit-identical t/slot/bary vs tracing the
+    same rays below the sort threshold. Regression test: an earlier
+    formulation applied the permutation with gather + .at[perm].set scatter,
+    and the int32 slot payload (bitcast through f32) was corrupted inside an
+    XLA scatter fusion at production ray counts — renders went black while
+    every small-scene test stayed green."""
+    T = 700
+    positions, triangles = _soup(T)
+    rng = np.random.default_rng(11)
+    opaque = rng.uniform(size=T) > 0.3
+    bvh4 = build_bvh(positions, triangles, leaf_size=4)
+    node_tab, tri_tab = cp.build_cluster_tables(
+        positions, triangles, opaque, _canonical(bvh4, T)
+    )
+
+    N = 4096
+    o = rng.uniform(-0.5, 1.5, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Ray(
+        jnp.asarray(o), jnp.asarray(d), jnp.full(N, 1e-4), jnp.full(N, 3e38)
+    )
+
+    ref = cp.trace_closest_cluster(
+        jnp.asarray(node_tab), jnp.asarray(tri_tab), rays, interpret=True
+    )  # N < MIN_SORT_RAYS: unsorted
+    monkeypatch.setattr(cp, "MIN_SORT_RAYS", 1024)
+    srt = cp.trace_closest_cluster(
+        jnp.asarray(node_tab), jnp.asarray(tri_tab), rays, interpret=True
+    )
+    assert np.array_equal(
+        np.nan_to_num(np.asarray(ref.t), posinf=1e30),
+        np.nan_to_num(np.asarray(srt.t), posinf=1e30),
+    )
+    assert np.array_equal(np.asarray(ref.prim), np.asarray(srt.prim))
+    assert np.array_equal(np.asarray(ref.bary), np.asarray(srt.bary))
+    occ_ref = cp.trace_any_cluster(
+        jnp.asarray(node_tab), jnp.asarray(tri_tab), rays, interpret=True
+    )
+    monkeypatch.setattr(cp, "MIN_SORT_RAYS", 1 << 30)
+    occ_uns = cp.trace_any_cluster(
+        jnp.asarray(node_tab), jnp.asarray(tri_tab), rays, interpret=True
+    )
+    assert np.array_equal(np.asarray(occ_ref), np.asarray(occ_uns))
