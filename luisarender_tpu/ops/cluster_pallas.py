@@ -424,7 +424,7 @@ _ray_spec = pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0), memory_space=pltpu.
 MIN_SORT_RAYS = 32768  # below this the sort costs more than it saves
 
 
-def _coherence_keys(o, d, node_table):
+def _coherence_keys(o, d, t_min, t_max, node_table):
     """Packet-coherence sort keys: origin Morton (6 bits/axis, scene-AABB
     normalized, from the root node record) major, direction Morton (4
     bits/axis over [-1,1], top bit = sign/octant) minor.
@@ -452,7 +452,11 @@ def _coherence_keys(o, d, node_table):
     def morton(q):
         return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
 
-    return ((morton(qo) << 12) | morton(qd)).astype(jnp.int32)
+    key = ((morton(qo) << 12) | morton(qd)).astype(jnp.int32)
+    # terminated lanes (integrators mask them with t_max <= t_min) sort to
+    # the TAIL so whole 1024-ray packets of dead rays exit the kernel at the
+    # root test — late bounces are mostly dead and otherwise pay full price
+    return jnp.where(t_max <= t_min, jnp.int32(0x40000000), key)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -467,7 +471,7 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
         # per scatter per call), while lax.sort is a fast parallel network —
         # carrying the ray components as sort payloads costs ~2-6 ms total.
         # The original index rides along; the outputs sort back by it.
-        key = _coherence_keys(o, d, node_table)
+        key = _coherence_keys(o, d, t_min, t_max, node_table)
         iota = jnp.arange(n, dtype=jnp.int32)
         (_, ox, oy, oz, dx, dy, dz, t_min, t_max, orig) = jax.lax.sort(
             (key, o[:, 0], o[:, 1], o[:, 2],
