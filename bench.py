@@ -5,7 +5,8 @@ Runs on whatever accelerator jax selects (the real TPU chip under the driver).
 
 Secondary metrics (BASELINE.json): `python bench.py --grad` measures the
 gradient-pass overhead ratio (forward+adjoint vs forward); `--wave` runs the
-wavefront integrator on the same scene.
+wavefront integrator on the same scene; `--mesh` runs the 512k-triangle
+bedroom-class scene through the cluster-streaming tracer.
 """
 
 from __future__ import annotations
@@ -89,11 +90,61 @@ def wave_bench():
     )
 
 
+def mesh_bench():
+    """Large-scene megapath throughput: 512k triangles, 1280x720, depth 5
+    (cluster-streaming Pallas tracer + coherence-sorted rays)."""
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+    from luisarender_tpu.integrators.mega_path import path_trace_batch
+
+    w, h, spp, depth = 1280, 720, 4, 5
+    scene = lr.Scene.from_dict(
+        testing.mesh_heavy(res=(w, h), spp=spp, depth=depth, accel="flat")
+    )
+    compiled = lr.compile_scene(scene)
+    camera, integ = scene.cameras[0], scene.integrator
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.int32), jnp.arange(w, dtype=jnp.int32),
+        indexing="ij",
+    )
+    pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+    @jax.jit
+    def bench_batch(arrays, s0):
+        def one(i, acc):
+            s_acc, r_acc = acc
+            rgb, _, stats = path_trace_batch(
+                compiled, arrays, camera, integ.sampler, integ.light_sampler,
+                pixel_xy, s0 + i, max_depth=depth, rr_depth=integ.rr_depth,
+                rr_threshold=integ.rr_threshold, with_stats=True,
+            )
+            return s_acc + jnp.sum(rgb), r_acc + stats["rays"]
+        return jax.lax.fori_loop(0, spp, one, (jnp.float32(0.0), jnp.int32(0)))
+
+    s, r = bench_batch(compiled.arrays, jnp.int32(0))
+    s.block_until_ready()
+    dt = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        s, r = bench_batch(compiled.arrays, jnp.int32(1 + k * spp))
+        rays = int(r)
+        assert float(s) > 0.0, "black render — tracer regression"
+        dt = min(dt, time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "meshheavy_512k_1280x720_megapath",
+        "value": round(rays / dt / 1e6, 3),
+        "unit": "Mray/s",
+        "vs_baseline": 0.0,
+    }))
+
+
 def main():
     if "--grad" in sys.argv:
         return grad_overhead()
     if "--wave" in sys.argv:
         return wave_bench()
+    if "--mesh" in sys.argv:
+        return mesh_bench()
     import luisarender_tpu as lr
     from luisarender_tpu import testing
     from luisarender_tpu.integrators.mega_path import path_trace_batch

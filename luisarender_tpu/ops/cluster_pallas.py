@@ -34,15 +34,18 @@ Design (everything the TPU is good at, nothing it is bad at):
   streams those clusters HBM->VMEM with double-buffered async DMA and tests
   all 128 triangles with a static-unrolled Möller-Trumbore loop against the
   whole packet (the proven brute_pallas.py pattern: static VMEM scalar
-  reads). best_t from earlier chunks prunes later ones, so ordered-ish
-  Morton layout gives early-out behaviour close to real ordered traversal.
+  reads). Children are pushed near-first along the packet mean direction,
+  so best_t tightens early and prunes both later pops and collected
+  clusters (re-tested against the current best before their tests run).
 - A bounded step counter guarantees termination even on malformed trees (a
   while_loop hang through the axon tunnel is unrecoverable).
 
 The per-ray cost is (union of clusters entered by the packet) x 128 tests —
-speculation tax. Camera packets are tile-coherent; bounce packets stay
-acceptable because paths are pixel-pinned (integrators/common.py). Sorting
-bounce rays by direction octant is a further option if profiles demand it.
+speculation tax. The wrappers therefore sort rays into coherent packets
+before blocking (origin-Morton major, direction-Morton minor, terminated
+rays to the tail) with variadic lax.sort carrying the payloads — measured
+14.3 clusters/packet coherent vs 94.3 incoherent on a 20k-tri scene, and
+sorted-incoherent traces at coherent speed.
 
 Like brute_pallas, the wrappers carry zero-gradient VJPs (geometry is
 constant; sampled directions are detached in diff/render.py).
@@ -500,7 +503,7 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
         in_specs=[_ray_spec] * 8
         + [
             node_spec,  # node table (SMEM flat or VMEM (N,8))
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tri table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # tri table (HBM)
         ],
         out_specs=[_ray_spec] * 4,
         out_shape=[

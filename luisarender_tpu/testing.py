@@ -155,3 +155,115 @@ def cornell_box(resolution=(64, 64), spp=16, depth=5, integrator=None, **int_pro
             "shapes": shapes,
         }
     }
+
+
+# ---------------------------------------------------------------------------
+# Bedroom-class synthetic benchmark scene: n x n subdivided icospheres
+# (Disney) over a checkerboard floor with an area light panel and a constant
+# environment. n=5, subdiv=5 -> 512k triangles (BASELINE config #3 probe).
+def mesh_heavy(res=(1280, 720), spp=4, depth=5, n=5, subdiv=5, accel="auto"):
+    # n*n spheres, each 20*4^subdiv tris: 5x5 x 20480 = 512000 tris
+    shapes = []
+    # floor + walls: big box
+    def quad(p0, p1, p2, p3, surface, light=None):
+        prop = {
+            "positions": [c for p in (p0, p1, p2, p3) for c in p],
+            "indices": [0, 1, 2, 0, 2, 3],
+            "surface": surface,
+        }
+        if light:
+            prop["light"] = light
+        return {"impl": "inlinemesh", "prop": prop}
+
+    checker = {
+        "impl": "checkerboard",
+        "prop": {
+            "on": {"impl": "constant", "prop": {"v": [0.725, 0.71, 0.68]}},
+            "off": {"impl": "constant", "prop": {"v": [0.2, 0.2, 0.25]}},
+            "scale": [16.0, 16.0],
+        },
+    }
+    floor_mat = {"impl": "matte", "prop": {"Kd": checker}}
+    S = 1000.0
+    shapes.append(quad([0, 0, 0], [S, 0, 0], [S, 0, S], [0, 0, S], floor_mat))
+    # area light panel up top
+    shapes.append(
+        quad(
+            [350, 600, 350],
+            [650, 600, 350],
+            [650, 600, 650],
+            [350, 600, 650],
+            {"impl": "null", "prop": {}},
+            light={
+                "impl": "diffuse",
+                "prop": {"emission": {"impl": "constant", "prop": {"v": [8.0, 7.5, 7.0]}}},
+            },
+        )
+    )
+
+    rough_tex = {"impl": "constant", "prop": {"v": [0.35]}}
+    for i in range(n):
+        for j in range(n):
+            color = [0.3 + 0.6 * i / max(n - 1, 1), 0.4, 0.9 - 0.6 * j / max(n - 1, 1)]
+            mat = {
+                "impl": "disney",
+                "prop": {
+                    "color": {"impl": "constant", "prop": {"v": color}},
+                    "metallic": {"impl": "constant", "prop": {"v": [0.5 * ((i + j) % 2)]}},
+                    "roughness": rough_tex,
+                },
+            }
+            shapes.append(
+                {
+                    "impl": "sphere",
+                    "prop": {
+                        "subdivision": subdiv,
+                        "surface": mat,
+                        "transform": {
+                            "impl": "srt",
+                            "prop": {
+                                "scale": [70, 70, 70],
+                                "translate": [
+                                    150 + 700 * i / max(n - 1, 1),
+                                    80,
+                                    150 + 700 * j / max(n - 1, 1),
+                                ],
+                            },
+                        },
+                    },
+                }
+            )
+
+    d = {
+        "render": {
+            "accel": accel,
+            "cameras": [
+                {
+                    "impl": "pinhole",
+                    "prop": {
+                        "fov": 50.0,
+                        "spp": spp,
+                        "film": {"impl": "color", "prop": {"resolution": list(res)}},
+                        "filter": {"impl": "box", "prop": {}},
+                        "transform": {
+                            "impl": "view",
+                            "prop": {
+                                "origin": [500.0, 350.0, -700.0],
+                                "front": [0.0, -0.25, 1.0],
+                                "up": [0.0, 1.0, 0.0],
+                            },
+                        },
+                    },
+                }
+            ],
+            "integrator": {"impl": "megapath", "prop": {"depth": depth}},
+            "environment": {
+                "impl": "spherical",
+                "prop": {
+                    "emission": {"impl": "constant", "prop": {"v": [0.4, 0.5, 0.7]}},
+                },
+            },
+            "shapes": shapes,
+        }
+    }
+    return d
