@@ -99,7 +99,8 @@ def mesh_bench():
 
     w, h, spp, depth = 1280, 720, 4, 5
     scene = lr.Scene.from_dict(
-        testing.mesh_heavy(res=(w, h), spp=spp, depth=depth, accel="flat")
+        testing.mesh_heavy(res=(w, h), spp=spp, depth=depth, accel="flat",
+                           textured="--textured" in sys.argv)
     )
     compiled = lr.compile_scene(scene)
     camera, integ = scene.cameras[0], scene.integrator
@@ -131,7 +132,7 @@ def mesh_bench():
         assert float(s) > 0.0, "black render — tracer regression"
         dt = min(dt, time.perf_counter() - t0)
     print(json.dumps({
-        "metric": "meshheavy_512k_1280x720_megapath",
+        "metric": "meshheavy_512k_textured" if "--textured" in sys.argv else "meshheavy_512k_1280x720_megapath",
         "value": round(rays / dt / 1e6, 3),
         "unit": "Mray/s",
         "vs_baseline": 0.0,

@@ -161,7 +161,8 @@ def cornell_box(resolution=(64, 64), spp=16, depth=5, integrator=None, **int_pro
 # Bedroom-class synthetic benchmark scene: n x n subdivided icospheres
 # (Disney) over a checkerboard floor with an area light panel and a constant
 # environment. n=5, subdiv=5 -> 512k triangles (BASELINE config #3 probe).
-def mesh_heavy(res=(1280, 720), spp=4, depth=5, n=5, subdiv=5, accel="auto"):
+def mesh_heavy(res=(1280, 720), spp=4, depth=5, n=5, subdiv=5, accel="auto",
+               textured=False):
     # n*n spheres, each 20*4^subdiv tris: 5x5 x 20480 = 512000 tris
     shapes = []
     # floor + walls: big box
@@ -202,13 +203,40 @@ def mesh_heavy(res=(1280, 720), spp=4, depth=5, n=5, subdiv=5, accel="auto"):
     )
 
     rough_tex = {"impl": "constant", "prop": {"v": [0.35]}}
+    tex_file = None
+    if textured:
+        # bake a procedural color texture to PNG once (exercises the image
+        # atlas + mip + LOD path instead of constant folding)
+        import tempfile
+
+        import numpy as np
+
+        from .utils import imageio
+
+        yy, xx = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+        img = np.stack(
+            [
+                0.5 + 0.45 * np.sin(xx * 0.11) * np.cos(yy * 0.07),
+                0.5 + 0.45 * np.sin((xx + yy) * 0.05),
+                0.5 + 0.45 * np.cos(xx * 0.03 - yy * 0.09),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        tex_file = tempfile.mktemp(suffix=".png", prefix="meshheavy_tex_")
+        imageio.save_png(tex_file, img)
     for i in range(n):
         for j in range(n):
             color = [0.3 + 0.6 * i / max(n - 1, 1), 0.4, 0.9 - 0.6 * j / max(n - 1, 1)]
+            color_tex = {"impl": "constant", "prop": {"v": color}}
+            if textured:
+                color_tex = {
+                    "impl": "image",
+                    "prop": {"file": tex_file, "encoding": "linear"},
+                }
             mat = {
                 "impl": "disney",
                 "prop": {
-                    "color": {"impl": "constant", "prop": {"v": color}},
+                    "color": color_tex,
                     "metallic": {"impl": "constant", "prop": {"v": [0.5 * ((i + j) % 2)]}},
                     "roughness": rough_tex,
                 },
