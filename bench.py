@@ -1,12 +1,20 @@
-"""Benchmark: Mray/s on the 1024^2 Cornell box (BASELINE.md headline metric).
+"""Benchmarks: every BASELINE.json metric, one JSON line each.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
-Runs on whatever accelerator jax selects (the real TPU chip under the driver).
+`python bench.py` (no flags) runs the FULL metric vector (VERDICT round-1
+item 2) so `BENCH_r{N}.json` tracks all of them round-over-round:
 
-Secondary metrics (BASELINE.json): `python bench.py --grad` measures the
-gradient-pass overhead ratio (forward+adjoint vs forward); `--wave` runs the
-wavefront integrator on the same scene; `--mesh` runs the 512k-triangle
-bedroom-class scene through the cluster-streaming tracer.
+  cornell_1024_megapath_rays     Mray/s   1024^2 Cornell, fused megakernel
+  cornell_mixed_materials        Mray/s   512^2 matte+mirror+glass Cornell
+  cornell_spectral_hero          Mray/s   512^2 hero-wavelength Cornell
+  cornell_1024_wavefront_paths   Mpaths/s wavefront integrator
+  grad_pass_overhead             x        adjoint+forward vs forward
+  meshheavy_512k (end-to-end)    Mray/s   512k tris, 1280x720, Disney+checker
+  meshheavy_cluster_raw          Mray/s   raw cluster-tracer camera packets
+
+Flags run one metric: --grad --wave --mesh --mixed --hero --raw
+(--mesh also takes --textured; --profile captures a jax.profiler trace).
+Each metric is independent; failures print {"metric": ..., "error": ...}
+and don't block the rest.
 """
 
 from __future__ import annotations
@@ -17,6 +25,102 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _emit(metric, value, unit, vs_baseline=0.0):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 3),
+                "unit": unit,
+                "vs_baseline": round(float(vs_baseline), 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _pixel_grid(w, h):
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.int32), jnp.arange(w, dtype=jnp.int32),
+        indexing="ij",
+    )
+    return jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+
+def _bench_megapath(scene_dict, metric, spp_bench, *, vs100=False):
+    """Time spp_bench batched megapath samples; emit Mray/s."""
+    import luisarender_tpu as lr
+    from luisarender_tpu.integrators.mega_path import path_trace_batch
+
+    scene = lr.Scene.from_dict(scene_dict)
+    compiled = lr.compile_scene(scene)
+    camera, integ = scene.cameras[0], scene.integrator
+    w, h = camera.film.resolution
+    pixel_xy = _pixel_grid(w, h)
+    depth = integ.max_depth
+
+    @jax.jit
+    def bench_batch(arrays, s0):
+        def one(i, acc):
+            s_acc, r_acc = acc
+            rgb, _, stats = path_trace_batch(
+                compiled, arrays, camera, integ.sampler, integ.light_sampler,
+                pixel_xy, s0 + i, max_depth=depth, rr_depth=integ.rr_depth,
+                rr_threshold=integ.rr_threshold, with_stats=True,
+            )
+            return s_acc + jnp.sum(rgb), r_acc + stats["rays"]
+
+        return jax.lax.fori_loop(
+            0, spp_bench, one, (jnp.float32(0.0), jnp.int32(0))
+        )
+
+    s, r = bench_batch(compiled.arrays, jnp.int32(0))
+    s.block_until_ready()
+    dt = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        s, r = bench_batch(compiled.arrays, jnp.int32(1 + k * spp_bench))
+        rays = int(r)
+        assert float(s) > 0.0, "black render — tracer regression"
+        dt = min(dt, time.perf_counter() - t0)
+    mray = rays / dt / 1e6
+    _emit(metric, mray, "Mray/s", mray / 100.0 if vs100 else 0.0)
+
+
+def bench_cornell():
+    from luisarender_tpu import testing
+
+    _bench_megapath(
+        testing.cornell_box(resolution=(1024, 1024), spp=32, depth=5),
+        "cornell_1024_megapath_rays", 32, vs100=True,
+    )
+
+
+def bench_mixed():
+    """Mixed-material Cornell (matte+mirror+glass+metal), scenes/materials.json
+    geometry class; 512^2 depth 8."""
+    import os
+
+    import luisarender_tpu as lr
+
+    path = os.path.join(os.path.dirname(__file__), "scenes", "materials.json")
+    scene_dict = json.load(open(path))
+    cam = scene_dict["render"]["cameras"][0]["prop"]
+    cam["film"]["prop"]["resolution"] = [512, 512]
+    _bench_megapath(scene_dict, "cornell_mixed_materials", 16)
+
+
+def bench_hero():
+    """Hero-wavelength spectral Cornell with dispersive glass."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "scenes", "cornell_spectral.json"
+    )
+    scene_dict = json.load(open(path))
+    _bench_megapath(scene_dict, "cornell_spectral_hero", 16)
 
 
 def grad_overhead():
@@ -49,16 +153,7 @@ def grad_overhead():
     t_f = timed(fwd, lambda r: float(r))
     t_b = timed(bwd, lambda r: float(jnp.sum(r[path])))
     ratio = (t_f + t_b) / t_f
-    print(
-        json.dumps(
-            {
-                "metric": "grad_pass_overhead",
-                "value": round(ratio, 3),
-                "unit": "x_forward",
-                "vs_baseline": round(ratio / 3.0, 4),
-            }
-        )
-    )
+    _emit("grad_pass_overhead", ratio, "x_forward", ratio / 3.0)
 
 
 def wave_bench():
@@ -72,43 +167,36 @@ def wave_bench():
     )
     scene = lr.Scene.from_dict(d)
     compiled = lr.compile_scene(scene)
-    # compile+run once, then timed run
-    scene.integrator.render(compiled)
+    scene.integrator.render(compiled)  # compile+run once
     t0 = time.perf_counter()
     scene.integrator.render(compiled)
     dt = time.perf_counter() - t0
     paths = res * res * spp
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_1024_wavefront_paths",
-                "value": round(paths / dt / 1e6, 3),
-                "unit": "Mpaths/s",
-                "vs_baseline": 0.0,
-            }
-        )
-    )
+    _emit("cornell_1024_wavefront_paths", paths / dt / 1e6, "Mpaths/s")
 
 
-def mesh_bench():
-    """Large-scene megapath throughput: 512k triangles, 1280x720, depth 5
-    (cluster-streaming Pallas tracer + coherence-sorted rays)."""
+def _mesh_setup(textured=False):
     import luisarender_tpu as lr
     from luisarender_tpu import testing
-    from luisarender_tpu.integrators.mega_path import path_trace_batch
 
     w, h, spp, depth = 1280, 720, 4, 5
     scene = lr.Scene.from_dict(
         testing.mesh_heavy(res=(w, h), spp=spp, depth=depth, accel="flat",
-                           textured="--textured" in sys.argv)
+                           textured=textured)
     )
     compiled = lr.compile_scene(scene)
+    return scene, compiled, w, h, spp, depth
+
+
+def mesh_bench(profile=False):
+    """Large-scene megapath throughput: 512k triangles, 1280x720, depth 5
+    (cluster-streaming Pallas tracer + coherence-sorted rays)."""
+    from luisarender_tpu.integrators.mega_path import path_trace_batch
+
+    textured = "--textured" in sys.argv
+    scene, compiled, w, h, spp, depth = _mesh_setup(textured)
     camera, integ = scene.cameras[0], scene.integrator
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.int32), jnp.arange(w, dtype=jnp.int32),
-        indexing="ij",
-    )
-    pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+    pixel_xy = _pixel_grid(w, h)
 
     @jax.jit
     def bench_batch(arrays, s0):
@@ -124,6 +212,14 @@ def mesh_bench():
 
     s, r = bench_batch(compiled.arrays, jnp.int32(0))
     s.block_until_ready()
+    if profile:
+        import os
+
+        os.makedirs("profiles", exist_ok=True)
+        with jax.profiler.trace("profiles/mesh_trace"):
+            s, r = bench_batch(compiled.arrays, jnp.int32(99))
+            s.block_until_ready()
+        print(json.dumps({"profile": "profiles/mesh_trace"}), flush=True)
     dt = float("inf")
     for k in range(3):
         t0 = time.perf_counter()
@@ -131,99 +227,58 @@ def mesh_bench():
         rays = int(r)
         assert float(s) > 0.0, "black render — tracer regression"
         dt = min(dt, time.perf_counter() - t0)
-    print(json.dumps({
-        "metric": "meshheavy_512k_textured" if "--textured" in sys.argv else "meshheavy_512k_1280x720_megapath",
-        "value": round(rays / dt / 1e6, 3),
-        "unit": "Mray/s",
-        "vs_baseline": 0.0,
-    }))
+    _emit(
+        "meshheavy_512k_textured" if textured
+        else "meshheavy_512k_1280x720_megapath",
+        rays / dt / 1e6, "Mray/s",
+    )
+
+
+def raw_cluster_bench():
+    """Raw cluster-tracer throughput on coherent camera packets (512k tris)."""
+    from luisarender_tpu.accel import traverse
+
+    scene, compiled, w, h, _, _ = _mesh_setup()
+    camera, integ = scene.cameras[0], scene.integrator
+    sampler = integ.sampler
+    n = w * h
+    pixel_xy = _pixel_grid(w, h)
+    state0 = sampler.start(pixel_xy, jnp.int32(0))
+    state0, u_filter = sampler.generate_pixel_2d(state0)
+    u_lens = jnp.full((n, 2), 0.5, jnp.float32)
+    ray, _, _ = camera.generate_rays(pixel_xy, u_filter, u_lens, 0.0)
+    geom = compiled.trace_geometry(compiled.arrays)
+    f = jax.jit(lambda r: traverse.trace_closest(geom, r).t)
+    f(ray).block_until_ready()
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(ray).block_until_ready()
+        dt = min(dt, time.perf_counter() - t0)
+    _emit("meshheavy_cluster_raw", n / dt / 1e6, "Mray/s")
 
 
 def main():
-    if "--grad" in sys.argv:
-        return grad_overhead()
-    if "--wave" in sys.argv:
-        return wave_bench()
-    if "--mesh" in sys.argv:
-        return mesh_bench()
-    import luisarender_tpu as lr
-    from luisarender_tpu import testing
-    from luisarender_tpu.integrators.mega_path import path_trace_batch
-
-    res = 1024
-    spp_warm = 1
-    spp_bench = 32
-    depth = 5
-
-    scene = lr.Scene.from_dict(
-        testing.cornell_box(resolution=(res, res), spp=spp_bench, depth=depth)
-    )
-    compiled = lr.compile_scene(scene)
-    camera = scene.cameras[0]
-    integrator = scene.integrator
-
-    h = w = res
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.int32), jnp.arange(w, dtype=jnp.int32), indexing="ij"
-    )
-    pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
-
-    @jax.jit
-    def bench_pass(arrays, sample_index):
-        rgb, weight, stats = path_trace_batch(
-            compiled,
-            arrays,
-            camera,
-            integrator.sampler,
-            integrator.light_sampler,
-            pixel_xy,
-            sample_index,
-            max_depth=depth,
-            rr_depth=integrator.rr_depth,
-            rr_threshold=integrator.rr_threshold,
-            with_stats=True,
-        )
-        return jnp.sum(rgb), stats["rays"]
-
-    # all spp batched in ONE dispatch (matching the production render loop,
-    # integrators/base.py samples-per-pass batching) so host->TPU round-trip
-    # latency is amortized, not measured
-    @jax.jit
-    def bench_batch(arrays, sample_index0):
-        def one(i, acc):
-            s_acc, r_acc = acc
-            s, r = bench_pass(arrays, sample_index0 + i)
-            return s_acc + s, r_acc + r
-
-        return jax.lax.fori_loop(
-            0, spp_bench, one, (jnp.float32(0.0), jnp.int32(0))
-        )
-
-    # warmup + compile
-    s, r = bench_batch(compiled.arrays, jnp.int32(0))
-    s.block_until_ready()
-
-    # best-of-3: a single timed call would fold the fixed per-dispatch
-    # host->TPU round-trip (~30 ms through the axon tunnel) into a ~100 ms
-    # measurement; production renders amortize it over many passes
-    dt = float("inf")
-    for k in range(3):
-        t0 = time.perf_counter()
-        s, r = bench_batch(compiled.arrays, jnp.int32(spp_warm + k * spp_bench))
-        total_rays = int(r)
-        float(s)  # sync
-        dt = min(dt, time.perf_counter() - t0)
-
-    mray_s = total_rays / dt / 1e6
-    # No published baseline exists (BASELINE.json "published": {}) — report
-    # vs_baseline as ratio to our own first-round target of 100 Mray/s.
-    out = {
-        "metric": "cornell_1024_megapath_rays",
-        "value": round(mray_s, 3),
-        "unit": "Mray/s",
-        "vs_baseline": round(mray_s / 100.0, 4),
+    single = {
+        "--grad": grad_overhead,
+        "--wave": wave_bench,
+        "--mesh": lambda: mesh_bench(profile="--profile" in sys.argv),
+        "--mixed": bench_mixed,
+        "--hero": bench_hero,
+        "--raw": raw_cluster_bench,
+        "--cornell": bench_cornell,
     }
-    print(json.dumps(out))
+    for flag, fn in single.items():
+        if flag in sys.argv:
+            return fn()
+    # default: the full metric vector
+    for fn in (bench_cornell, bench_mixed, bench_hero, wave_bench,
+               grad_overhead, mesh_bench, raw_cluster_bench):
+        try:
+            fn()
+        except Exception as e:  # one failure must not hide the rest
+            _emit_err = {"metric": fn.__name__, "error": f"{type(e).__name__}: {e}"}
+            print(json.dumps(_emit_err), flush=True)
 
 
 if __name__ == "__main__":

@@ -11,13 +11,18 @@ Both are computable:
   2^d - 1 — checked with square-and-multiply modular exponentiation plus
   the prime divisors of 2^d - 1 (trial-division factored; degrees <= 14
   cover > 2300 dimensions);
-- initial direction numbers use a deterministic seeded draw of odd
-  m_i < 2^i. Any such choice yields a valid Sobol (t,s)-sequence in base 2
-  (every 1D projection is a (0,1)-sequence; tests/test_samplers.py checks
-  this for every generated dimension). Joe-Kuo's specific m_i optimize 2D
-  projection quality; ours are unoptimized but correct, and the sampler
-  layers per-dimension Owen scrambling on top, which randomizes projection
-  artifacts anyway.
+- initial direction numbers: any odd m_i < 2^i yields a valid Sobol
+  (t,s)-sequence in base 2 (every 1D projection is a (0,1)-sequence;
+  tests/test_samplers.py checks this for every generated dimension). The
+  specific m_i determine 2D projection quality — Joe-Kuo's published
+  tables come from a search minimizing their D(6) criterion. We run the
+  same *kind* of search: per dimension, candidate m_i draws are scored by
+  the dyadic-stratification error of the 2D projections against the
+  preceding two dimensions (all (r1, r2) splits of the first 2^L points;
+  a (0,2)-net projection scores 0) and the best candidate wins. This
+  targets exactly the pairs the samplers consume (consecutive dims =
+  pixel/lens/lobe 2D draws) — the round-1 plain seeded draw scores ~6x worse
+  (mean) on this metric (test_samplers.py pins both sides).
 
 The (D, 32) uint32 matrix is generated once and disk-cached.
 """
@@ -100,19 +105,75 @@ def primitive_polynomials(count: int) -> list:
     return out
 
 
-def sobol_matrices(n_dims: int = 1024, seed: int = 20180813) -> np.ndarray:
+def _direction_vectors(d: int, a: int, m: np.ndarray) -> np.ndarray:
+    """Expand initial direction numbers m[1..d] with the Sobol recurrence
+    for polynomial (degree d, middle bits a) into 32 MSB-aligned v's."""
+    vs = np.zeros(33, np.uint64)
+    for i in range(1, min(d, 32) + 1):
+        vs[i] = np.uint64(m[i]) << np.uint64(32 - i)
+    for i in range(d + 1, 33):
+        val = vs[i - d] ^ (vs[i - d] >> np.uint64(d))
+        for k in range(1, d):
+            if (a >> (d - 1 - k)) & 1:
+                val ^= vs[i - k]
+        vs[i] = val
+    return vs[1:33]
+
+
+def _sobol_points(v: np.ndarray, n: int) -> np.ndarray:
+    """First n Sobol values (uint32) of one dimension from its 32 v's."""
+    idx = np.arange(n, dtype=np.uint32)
+    bits = (idx[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    masked = np.where(bits.astype(bool), v[None, :].astype(np.uint32), 0)
+    return np.bitwise_xor.reduce(masked, axis=1)
+
+
+def pair_strat_error(u: np.ndarray, w: np.ndarray, log2n: int) -> float:
+    """Dyadic 2D stratification error of the projection (u, w) over the
+    first 2^log2n points: for every split r1+r2 = log2n, the 2^log2n
+    elementary cells should hold exactly one point ((0,2)-net in base 2);
+    returns the summed squared excess. 0 = perfect (e.g. dims 0,1)."""
+    n = 1 << log2n
+    u = u[:n]
+    w = w[:n]
+    err = 0.0
+    for r1 in range(log2n + 1):
+        r2 = log2n - r1
+        cu = (u >> np.uint32(32 - r1)) if r1 else np.zeros_like(u)
+        cw = (w >> np.uint32(32 - r2)) if r2 else np.zeros_like(w)
+        cells = cu.astype(np.int64) << r2 | cw.astype(np.int64)
+        counts = np.bincount(cells, minlength=n)
+        err += float(((counts - 1) ** 2).sum())
+    return err
+
+
+def _random_m(rs, d: int) -> np.ndarray:
+    m = np.zeros(d + 1, np.uint64)
+    m[1] = 1  # the only odd value < 2
+    for i in range(2, d + 1):
+        m[i] = 2 * rs.randint(0, 1 << (i - 1)) + 1
+    return m
+
+
+def sobol_matrices(
+    n_dims: int = 1024, seed: int = 20180813, optimize: bool = True,
+    candidates: int = 64, cache: bool = True,
+) -> np.ndarray:
     """(n_dims, 32) uint32 direction vectors v_{j,i} (MSB-aligned).
 
-    Dimension 0 is the van der Corput sequence (identity matrix)."""
+    Dimension 0 is the van der Corput sequence (identity matrix).
+    optimize=True runs the Joe-Kuo-style search (docstring above);
+    optimize=False reproduces the round-1 plain seeded draw (kept for the
+    regression test demonstrating the quality gap)."""
     cache_dir = Path(
         os.environ.get(
             "LUISARENDER_TPU_CACHE", Path.home() / ".cache" / "luisarender_tpu"
         )
     )
-    cache_dir.mkdir(parents=True, exist_ok=True)
-    cache = cache_dir / f"sobol_matrices_{n_dims}_{seed}.npy"
-    if cache.exists():
-        m = np.load(cache)
+    tag = f"jk{candidates}" if optimize else "plain"
+    cache_path = cache_dir / f"sobol_matrices_{n_dims}_{seed}_{tag}.npy"
+    if cache and cache_path.exists():
+        m = np.load(cache_path)
         if m.shape == (n_dims, 32):
             return m
 
@@ -120,21 +181,33 @@ def sobol_matrices(n_dims: int = 1024, seed: int = 20180813) -> np.ndarray:
     v = np.zeros((n_dims, 32), np.uint64)
     v[0] = 1 << (31 - np.arange(32))  # van der Corput
     polys = primitive_polynomials(n_dims - 1)
+    log2n = 8  # score the first 256 points — the low-spp regime that matters
+    pts_prev1 = _sobol_points(v[0], 1 << log2n)
+    pts_prev2 = None
     for j, (d, a) in enumerate(polys, start=1):
-        # initial direction numbers: odd m_i < 2^i (deterministic draw)
-        m = np.zeros(d + 1, np.uint64)
-        for i in range(1, d + 1):
-            m[i] = 2 * rs.randint(0, 1 << (i - 1)) + 1 if i > 1 else 1
-        vs = np.zeros(33, np.uint64)
-        for i in range(1, min(d, 32) + 1):
-            vs[i] = m[i] << (32 - i)
-        for i in range(d + 1, 33):
-            val = vs[i - d] ^ (vs[i - d] >> np.uint64(d))
-            for k in range(1, d):
-                if (a >> (d - 1 - k)) & 1:
-                    val ^= vs[i - k]
-            vs[i] = val
-        v[j] = vs[1:33]
+        if not optimize:
+            m = _random_m(rs, d)
+            v[j] = _direction_vectors(d, a, m)
+            continue
+        best = None
+        best_err = np.inf
+        # d=1 has no free initial bits (m_1 = 1 always): single candidate
+        n_cand = candidates if d > 1 else 1
+        for _ in range(n_cand):
+            m = _random_m(rs, d)
+            cand = _direction_vectors(d, a, m)
+            pts = _sobol_points(cand, 1 << log2n)
+            err = pair_strat_error(pts_prev1, pts, log2n)
+            if pts_prev2 is not None:
+                err += 0.5 * pair_strat_error(pts_prev2, pts, log2n)
+            if err < best_err:
+                best_err = err
+                best = (cand, pts)
+        v[j] = best[0]
+        pts_prev2 = pts_prev1
+        pts_prev1 = best[1]
     out = v.astype(np.uint32)
-    np.save(cache, out)
+    if cache:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        np.save(cache_path, out)
     return out

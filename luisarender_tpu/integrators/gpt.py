@@ -31,10 +31,11 @@ TPU mapping: the 4 shifted paths live on a (4N,) flattened lane axis
 (shift-major) so every surface/light dispatch runs as one batched call; the
 per-lane $switch(connection_status) of the reference becomes masked selects.
 
-Documented deviation: the half-vector shift covers the reflective branch;
-transmissive half-vector shifts (gpt.cpp:301-337) fail the shift, which
-falls back to unbiased central radiance (noisier gradients through
-refractive chains, identical primal).
+Both half-vector branches are implemented: reflective (gpt.cpp:340-352) and
+transmissive (gpt.cpp:301-337, generalized Walter half vector with the
+closure etas and the |h'|^2/|h|^2 Jacobian). Remaining failed shifts (TIR,
+eta==1 transmission) fall back to unbiased central radiance, exactly as the
+reference's shift_failed_flag path does.
 """
 
 from __future__ import annotations
@@ -559,15 +560,65 @@ def gpt_trace_batch(
         ts_m_wi = fr.to_local(m_frame, _tile4(smp["wi"]))
         ts_s_wi = fr.to_local(s_frame, -s_ray.direction)
         reflect_case = fr.cos_theta(ts_m_wi) * fr.cos_theta(ts_m_wo) >= 0.0
+
+        # reflective branch (gpt.cpp:340-352): copy the classic half vector
         h = fr.normalize(ts_m_wo + ts_m_wi)
-        ts_s_wo = fr.reflect(ts_s_wi, h)
-        jac_hv = jnp.abs(fr.dot(ts_s_wo, h)) / (
+        ts_s_wo_r = fr.reflect(ts_s_wi, h)
+        jac_r = jnp.abs(fr.dot(ts_s_wo_r, h)) / (
             D_EPS + jnp.abs(fr.dot(ts_m_wo, h))
         )
-        hv_geom_ok = (
-            reflect_case
-            & (fr.cos_theta(ts_s_wi) * fr.cos_theta(ts_s_wo) > 0.0)
+        ok_r = fr.cos_theta(ts_s_wi) * fr.cos_theta(ts_s_wo_r) > 0.0
+
+        # transmissive branch (gpt.cpp:301-337): generalized (Walter)
+        # half vector scaled by the closure etas; refract the shifted wi
+        # about it with the SHIFTED vertex's eta; Jacobian = ratio of the
+        # unnormalized generalized-half-vector norms x |m_wi.h|/|s_wo.h|.
+        eta_m = _tile4(
+            surf_base.dispatch(
+                ctx, prev_it, "eta_value", swl,
+                init=jnp.ones((n,), jnp.float32),
+            )
         )
+        eta_s = surf_base.dispatch(
+            ctx, s_it, "eta_value", swl4,
+            init=jnp.ones((4 * n,), jnp.float32),
+        )
+        # reference arg names: main_wi := our ts_m_wo (toward camera),
+        # main_wo := our ts_m_wi (sampled), shifted_wi := our ts_s_wi.
+        h_nn_main = jnp.where(
+            (fr.cos_theta(ts_m_wo) < 0.0)[..., None],
+            -(ts_m_wo * eta_m[..., None] + ts_m_wi),
+            -(ts_m_wo + ts_m_wi * eta_m[..., None]),
+        )
+        h_t = fr.normalize(h_nn_main)
+        # refract ts_s_wi about h_t with interior IOR eta_s (orient h to the
+        # incident side; fr.refract takes eta = eta_i/eta_t)
+        cos_sh = fr.dot(ts_s_wi, h_t)
+        h_or = jnp.where((cos_sh < 0.0)[..., None], -h_t, h_t)
+        eta_rel = jnp.where(cos_sh > 0.0, 1.0 / eta_s, eta_s)
+        refr_ok, ts_s_wo_t = fr.refract(ts_s_wi, h_or, eta_rel)
+        h_nn_shift = jnp.where(
+            (fr.cos_theta(ts_s_wi) < 0.0)[..., None],
+            -(ts_s_wi * eta_s[..., None] + ts_s_wo_t),
+            -(ts_s_wi + ts_s_wo_t * eta_s[..., None]),
+        )
+        jac_t = (
+            jnp.sum(h_nn_shift * h_nn_shift, axis=-1)
+            / (D_EPS + jnp.sum(h_nn_main * h_nn_main, axis=-1))
+        ) * (
+            jnp.abs(fr.dot(ts_m_wi, h_t))
+            / (D_EPS + jnp.abs(fr.dot(ts_s_wo_t, h_t)))
+        )
+        ok_t = (
+            refr_ok
+            & (eta_m > 1.0 + 1e-6)
+            & (eta_s > 1.0 + 1e-6)
+            & (fr.cos_theta(ts_s_wi) * fr.cos_theta(ts_s_wo_t) < 0.0)
+        )
+
+        ts_s_wo = jnp.where(reflect_case[..., None], ts_s_wo_r, ts_s_wo_t)
+        jac_hv = jnp.where(reflect_case, jac_r, jac_t)
+        hv_geom_ok = jnp.where(reflect_case, ok_r, ok_t)
         hv_wo = fr.to_world(s_frame, ts_s_wo)
         hv_eval = _eval_surface(ctx, s_it, swl4, -s_ray.direction, hv_wo)
         hv_live = is_hv & hv_geom_ok & (hv_eval["pdf"] > 0)

@@ -98,6 +98,13 @@ class Surface(SceneNode):
     def is_dispersive(params, ctx):
         return False
 
+    @staticmethod
+    def eta_value(params, ctx, it, swl):
+        """Closure relative IOR (surface.h:90 `eta()`), 1.0 = no refraction.
+        Consumed by GPT's transmissive half-vector shift (gpt.cpp:934-948
+        `closure->eta().value_or(1.f)`)."""
+        return jnp.ones(it.p.shape[:-1], jnp.float32)
+
 
 def shading_frame(params, ctx, it):
     """Shading frame with optional tangent-space normal mapping

@@ -107,6 +107,22 @@ class DisneySurface(Surface):
         row["remap_roughness"] = np.float32(1.0 if self.remap_roughness else 0.0)
         return row
 
+    @staticmethod
+    def eta_value(params, ctx, it, swl):
+        """Relative IOR when the specular-transmission lobe is active (thin
+        surfaces refract-through with no bending, so report 1)."""
+        from ..textures.base import evaluate_param
+
+        eta = jnp.maximum(
+            evaluate_param(ctx, params, "eta", it, default=(1.5,) * 4)[..., 0],
+            1.001,
+        )
+        st = evaluate_param(
+            ctx, params, "specular_trans", it, default=(0.0,) * 4
+        )[..., 0]
+        refractive = (st > 0.0) & ~(params["thin"] > 0.5)
+        return jnp.where(refractive, eta, 1.0)
+
     # ------------------------------------------------------------------
     @staticmethod
     def _ctx(params, ctx, it, swl):

@@ -174,6 +174,10 @@ class GlassSurface(Surface):
         return jnp.abs(params["cauchy_b"]) > 1e-9
 
     @staticmethod
+    def eta_value(params, ctx, it, swl):
+        return GlassSurface._eta_t(params, swl)
+
+    @staticmethod
     def _textures(params, ctx, it, swl):
         kr = evaluate_param(ctx, params, "kr", it, default=(1.0,) * 3 + (0.0,))
         kt = evaluate_param(ctx, params, "kt", it, default=(1.0,) * 3 + (0.0,))

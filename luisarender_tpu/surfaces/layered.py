@@ -1,9 +1,22 @@
 """Layered surface: a dielectric coating over an arbitrary inner surface.
 
 TPU-native counterpart of /root/reference/src/surfaces/layered.cpp (510 LoC,
-PBRT-v4's stochastic layered BSDF with an internal HG medium and stochastic
-TIR walk). Deviation (documented): instead of the unbounded stochastic walk,
-this implements the deterministic two-lobe layered approximation —
+PBRT-v4's stochastic layered BSDF with an internal medium and stochastic
+TIR walk). Two evaluation modes:
+
+- default: the deterministic two-lobe closed form below (zero estimator
+  noise; interreflections hemisphere-averaged);
+- `stochastic: true` (+ `max_depth`, layered.cpp:134 default 10): the
+  reference's unbiased fixed-K TIR walk as a lax-unrolled masked loop —
+  deterministic refraction through the coat, per-bounce NEE connection of
+  the inner vertex to the exit direction, inner-BSDF-sampled continuation
+  with the TIR branch weighted by its Fresnel probability, Beer-Lambert
+  absorption on every slab leg. The walk RNG is a counter-based hash of
+  (position, wo, wi), so evaluation stays a pure function. The closed form
+  is the K->inf hemisphere-averaged control; tests/test_surfaces.py pins
+  white-furnace and closed-form agreement at high K.
+
+The closed-form mode implements —
 
     f = f_coat(GGX, Fresnel eta)  +  T_in * f_inner * T_out * A(medium)
 
@@ -39,14 +52,16 @@ from .mirror import _resolve_alpha
 _MONO_CACHE: dict = {}
 
 
-def _monomorphized(inner_cls):
-    if inner_cls in _MONO_CACHE:
-        return _MONO_CACHE[inner_cls]
+def _monomorphized(inner_cls, walk_k: int = 0):
+    key = (inner_cls, walk_k)
+    if key in _MONO_CACHE:
+        return _MONO_CACHE[key]
 
     class LayeredMono(Surface):
         properties = PROPERTY_REFLECTIVE | inner_cls.properties
         inner = inner_cls
-        impl_names = (f"layered<{inner_cls.__name__}>",)
+        WALK_K = walk_k
+        impl_names = (f"layered<{inner_cls.__name__},k={walk_k}>",)
 
         @staticmethod
         def _split(params):
@@ -121,6 +136,128 @@ def _monomorphized(inner_cls):
             return (t_o * t_i)[..., None] * a * comp
 
         @staticmethod
+        def _sigma(params, ctx, it, swl):
+            sig = evaluate_param(
+                ctx, params, "sigma_a", it, default=(0.0,) * 4
+            )
+            thick = evaluate_param(
+                ctx, params, "thickness", it, default=(1.0,) * 4
+            )[..., 0]
+            return ctx.spectrum.decode_unbounded(sig[..., :3], swl) * thick[
+                ..., None
+            ]
+
+        @staticmethod
+        def _walk_inner(params, ctx, it, swl, frame, wo_l, wi_l, eta, inner_p):
+            """Unbiased stochastic TIR walk (layered.cpp:14-110): the inner
+            lobe of f(wo, wi) estimated by K bounces between the inner
+            surface and the coat's inner face. Directions local; all legs
+            through the slab pay Beer-Lambert absorption; the coat is
+            treated as smooth for in-slab refraction (its roughness shapes
+            the direct reflection lobe only — layered.cpp builds the top
+            interface the same way when alpha ~ 0)."""
+            from ..core import rng
+
+            sigma = LayeredMono._sigma(params, ctx, it, swl)
+
+            def absorb(w):
+                return jnp.exp(
+                    -sigma / jnp.maximum(fr.abs_cos_theta(w), 1e-4)[..., None]
+                )
+
+            z = jnp.zeros_like(wo_l)
+            z = z.at[..., 2].set(1.0)
+            inv_eta = 1.0 / eta
+            # deterministic refraction of both endpoints into the slab
+            ok_o, w_down = fr.refract(wo_l, z, inv_eta)
+            ok_i, w_i_in = fr.refract(wi_l, z, inv_eta)  # downward
+            t_o = 1.0 - mf.fresnel_dielectric(
+                fr.cos_theta(wo_l), jnp.ones_like(eta), eta
+            )
+            t_i = 1.0 - mf.fresnel_dielectric(
+                fr.cos_theta(wi_l), jnp.ones_like(eta), eta
+            )
+            exit_dir = -w_i_in  # upward, refracts out to wi
+            a_exit = absorb(exit_dir)
+            # refraction measure factor for the exit connection: the inner
+            # BSDF is evaluated in the INTERNAL solid-angle measure; mapping
+            # to the outer wi measure compresses by eta^2 and trades the
+            # cosines (dw' = dw cos/ (eta^2 cos')). inner f includes cos',
+            # so the connection carries cos_i / (eta^2 cos_i').
+            exit_jac = fr.abs_cos_theta(wi_l) / (
+                eta * eta * jnp.maximum(fr.abs_cos_theta(w_i_in), 1e-4)
+            )
+
+            # counter-based walk RNG: pure function of (p, wo, wi)
+            import jax as _jax
+
+            def bits(x):
+                return _jax.lax.bitcast_convert_type(
+                    x.astype(jnp.float32), jnp.uint32
+                )
+
+            seed = rng.xxhash32(
+                bits(it.p[..., 0]),
+                bits(it.p[..., 1] + it.p[..., 2]),
+                bits(wo_l[..., 0] + 2.0 * wi_l[..., 1]),
+                bits(wo_l[..., 2] + 3.0 * wi_l[..., 0]),
+            )
+
+            n = wo_l.shape[0]
+            c = swl.dimension
+            f_acc = jnp.zeros((n, c), jnp.float32)
+            beta = t_o[..., None] * jnp.ones((n, c), jnp.float32)
+            alive = ok_o & ok_i & (fr.cos_theta(wo_l) > 0) & (
+                fr.cos_theta(wi_l) > 0
+            )
+            w = w_down
+            for k in range(LayeredMono.WALK_K):
+                beta = beta * absorb(w)
+                # NEE: inner vertex -> exit refraction -> wi
+                e = LayeredMono.inner.evaluate(
+                    inner_p, ctx, it, swl,
+                    fr.to_world(frame, -w), fr.to_world(frame, exit_dir),
+                )
+                f_acc = f_acc + jnp.where(
+                    alive[..., None],
+                    beta * e["f"] * a_exit * (t_i * exit_jac)[..., None],
+                    0.0,
+                )
+                if k == LayeredMono.WALK_K - 1:
+                    break
+                # continuation: sample the inner BSDF, then take the TIR
+                # branch at the coat weighted by its Fresnel probability
+                b0, b1, b2 = rng.pcg3d(
+                    seed, jnp.uint32(k + 1), seed ^ np.uint32(0x9E3779B9)
+                )
+                u_lobe = rng.uniform_u32_to_float(b0)
+                u2 = jnp.stack(
+                    [rng.uniform_u32_to_float(b1), rng.uniform_u32_to_float(b2)],
+                    axis=-1,
+                )
+                s = LayeredMono.inner.sample(
+                    inner_p, ctx, it, swl, fr.to_world(frame, -w), u_lobe, u2
+                )
+                w_up = fr.to_local(frame, s["wi"])
+                ok_s = (s["pdf"] > 0) & (fr.cos_theta(w_up) > 0)
+                beta = beta * jnp.where(
+                    ok_s[..., None],
+                    s["f"] / jnp.maximum(s["pdf"], 1e-7)[..., None],
+                    0.0,
+                )
+                beta = beta * absorb(w_up)
+                # internal Fresnel at the coat underside (dense -> rare):
+                # reflectance = TIR continuation probability, taken
+                # deterministically with its weight (splitting, not RR)
+                f_int = mf.fresnel_dielectric(
+                    fr.cos_theta(w_up), eta, jnp.ones_like(eta)
+                )
+                beta = beta * f_int[..., None]
+                alive = alive & ok_s
+                w = w_up * jnp.asarray([1.0, 1.0, -1.0], jnp.float32)
+            return f_acc
+
+        @staticmethod
         def evaluate(params, ctx, it, swl, wo, wi):
             inner_p = LayeredMono._split(params)
             e_in = LayeredMono.inner.evaluate(inner_p, ctx, it, swl, wo, wi)
@@ -129,13 +266,18 @@ def _monomorphized(inner_cls):
             wi_l = fr.to_local(frame, wi)
             same = fr.same_hemisphere(wo_l, wi_l)
             f_c, pdf_c, eta = LayeredMono._coat(params, ctx, it, swl, wo_l, wi_l)
-            a_inner = LayeredMono.inner.albedo(inner_p, ctx, it, swl)
-            trans = LayeredMono._transmittances(
-                params, ctx, it, swl, wo_l, wi_l, eta, a_inner
-            )
             cos_i = fr.abs_cos_theta(wi_l)
             f_coat = jnp.where(same, f_c * cos_i, 0.0)[..., None]
-            f = f_coat + e_in["f"] * trans
+            if LayeredMono.WALK_K > 0:
+                f = f_coat + LayeredMono._walk_inner(
+                    params, ctx, it, swl, frame, wo_l, wi_l, eta, inner_p
+                )
+            else:
+                a_inner = LayeredMono.inner.albedo(inner_p, ctx, it, swl)
+                trans = LayeredMono._transmittances(
+                    params, ctx, it, swl, wo_l, wi_l, eta, a_inner
+                )
+                f = f_coat + e_in["f"] * trans
             w = LayeredMono._coat_weight(params, ctx, it, swl, wo_l, eta)
             pdf = jnp.where(same, w * pdf_c, 0.0) + (1.0 - w) * e_in["pdf"]
             return {"f": f, "pdf": pdf}
@@ -209,12 +351,18 @@ class LayeredSurface(Surface):
         self.sigma_a = scene.load_texture(desc.node("sigma_a"))
         self.thickness = scene.load_texture(desc.node("thickness"))
         self.remap_roughness = desc.bool("remap_roughness", True)
+        # layered.cpp:134 max_depth default 10; stochastic opts into the
+        # reference's unbiased TIR walk (closed form otherwise)
+        self.stochastic = desc.bool("stochastic", False)
+        self.max_depth = desc.int("max_depth", 10)
         self.properties = PROPERTY_REFLECTIVE | type(self.inner).properties
 
     @property
     def monomorphized(self):
         inner_cls = getattr(self.inner, "monomorphized", None) or type(self.inner)
-        return _monomorphized(inner_cls)
+        return _monomorphized(
+            inner_cls, self.max_depth if self.stochastic else 0
+        )
 
     def compile(self, compiler) -> dict:
         row = self.compile_common(compiler)

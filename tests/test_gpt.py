@@ -73,3 +73,66 @@ class TestGPT:
             "cornell_effective.exr",
         ):
             assert key in out and np.isfinite(out[key]).all()
+
+
+def _glass_scene(spp, depth=6, integrator="megapath", props=None, res=16):
+    """Cornell box with a glass sphere covering much of the view — exercises
+    the transmissive half-vector shift (gpt.cpp:301-337)."""
+    d = testing.cornell_box(resolution=(res, res), spp=spp, depth=depth)
+    d["render"]["shapes"].append(
+        {
+            "impl": "sphere",
+            "prop": {
+                "subdivision": 3,
+                "surface": {
+                    "impl": "glass",
+                    "prop": {
+                        "eta": {"impl": "constant", "prop": {"v": [1.5]}}
+                    },
+                },
+                "transform": {
+                    "impl": "srt",
+                    "prop": {
+                        "scale": [120, 120, 120],
+                        "translate": [278, 200, 279],
+                    },
+                },
+            },
+        }
+    )
+    if integrator == "gpt":
+        d["render"]["integrator"] = {
+            "impl": "gpt",
+            "prop": {"depth": depth, **(props or {})},
+        }
+    return d
+
+
+class TestGPTTransmissive:
+    def test_primal_unbiased_through_glass(self):
+        """Transmissive shifts must not bias the MIS-reweighted primal
+        (gpt.cpp:301-337 + 605-645: shifted pdfs only reweight)."""
+        gpt = lr.render(
+            lr.Scene.from_dict(
+                _glass_scene(96, integrator="gpt", props={"reconstruct": False})
+            )
+        )["cornell.exr"]
+        ref = lr.render(lr.Scene.from_dict(_glass_scene(256)))["cornell.exr"]
+        assert np.isfinite(gpt).all()
+        assert abs(gpt.mean() / ref.mean() - 1.0) < 0.08
+
+    def test_gradients_track_fd_through_glass(self):
+        """VERDICT item 5 'done' bar: gradient buffers through a glass object
+        agree with finite differences of the converged primal."""
+        out = lr.render(
+            lr.Scene.from_dict(
+                _glass_scene(128, integrator="gpt", props={"reconstruct": False})
+            )
+        )
+        ref = lr.render(lr.Scene.from_dict(_glass_scene(384)))["cornell.exr"]
+        gx = out["cornell_gradient_x.exr"]
+        fd = np.zeros_like(ref)
+        fd[:, :-1] = ref[:, 1:] - ref[:, :-1]
+        corr = np.corrcoef(gx[:, :-1].ravel(), fd[:, :-1].ravel())[0, 1]
+        assert corr > 0.5
+        assert 0.3 < np.abs(gx).mean() / max(np.abs(fd).mean(), 1e-6) < 3.0

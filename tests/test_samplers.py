@@ -231,3 +231,45 @@ class TestPMJ02BN:
         # random placement of m points has expected min-dist ~ 1/m; require
         # clearly better
         assert np.sqrt(r2.min()) > 1.5 / len(pts), np.sqrt(r2.min())
+
+
+class TestSobolProjectionQuality:
+    """VERDICT round-1 item 8: the Joe-Kuo-style search must beat the plain
+    seeded draw on 2D dyadic stratification of consecutive-dimension pairs
+    (the pairs samplers consume for pixel/lens/BSDF 2D draws)."""
+
+    def _mean_max(self, v, n_pairs=63):
+        from luisarender_tpu.core import sobolgen as sg
+
+        errs = [
+            sg.pair_strat_error(
+                sg._sobol_points(v[j], 256), sg._sobol_points(v[j + 1], 256), 8
+            )
+            for j in range(n_pairs)
+        ]
+        import numpy as np
+
+        return float(np.mean(errs)), float(max(errs))
+
+    def test_optimized_passes_plain_fails(self):
+        from luisarender_tpu.core import sobolgen as sg
+
+        v_new = sg.sobol_matrices(64, optimize=True, cache=False)
+        v_old = sg.sobol_matrices(64, optimize=False, cache=False)
+        mean_new, max_new = self._mean_max(v_new)
+        mean_old, max_old = self._mean_max(v_old)
+        # the bar the round-1 draw fails
+        assert mean_new < 450 and max_new <= 1536, (mean_new, max_new)
+        assert mean_old > 450 or max_old > 1536, (mean_old, max_old)
+        assert mean_new < 0.5 * mean_old
+
+    def test_dim01_projection_is_perfect(self):
+        """Dims (0,1) form a (0,2)-net in base 2 — search must not regress
+        the classic pair."""
+        from luisarender_tpu.core import sobolgen as sg
+
+        v = sg.sobol_matrices(64, optimize=True, cache=False)
+        err = sg.pair_strat_error(
+            sg._sobol_points(v[0], 256), sg._sobol_points(v[1], 256), 8
+        )
+        assert err == 0.0
