@@ -123,6 +123,44 @@ def bench_hero():
     _bench_megapath(scene_dict, "cornell_spectral_hero", 16)
 
 
+def bench_megawave():
+    """Persistent-threads megakernel (megawave): the whole 32-sample pass in
+    ONE launch with in-kernel path regeneration — measures the dead-tail
+    advantage over the per-sample unrolled megapath."""
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+    from luisarender_tpu.ops import fused_path
+
+    res, spp, depth = 1024, 32, 5
+    scene = lr.Scene.from_dict(
+        testing.cornell_box(resolution=(res, res), spp=spp, depth=depth)
+    )
+    compiled = lr.compile_scene(scene)
+    camera, integ = scene.cameras[0], scene.integrator
+    cam = fused_path.camgen_params(camera, 0.0)
+    cam = {**cam, "sampler_seed": integ.sampler.seed & 0xFFFFFFFF}
+    pixel_xy = _pixel_grid(res, res)
+
+    @jax.jit
+    def one(arrays, s0):
+        rgb, nrays = fused_path.trace_paths_fused_persistent(
+            compiled, arrays, cam, pixel_xy, s0, spp, max_depth=depth,
+            rr_depth=integ.rr_depth, rr_threshold=integ.rr_threshold,
+        )
+        return jnp.sum(rgb), nrays
+
+    s, r = one(compiled.arrays, jnp.int32(0))
+    s.block_until_ready()
+    dt = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        s, r = one(compiled.arrays, jnp.int32(1 + k * spp))
+        rays = int(r)
+        assert float(s) > 0.0
+        dt = min(dt, time.perf_counter() - t0)
+    _emit("cornell_1024_megawave_rays", rays / dt / 1e6, "Mray/s")
+
+
 def grad_overhead():
     """Adjoint-vs-forward wall-clock ratio on a small Cornell config."""
     import luisarender_tpu as lr
@@ -267,13 +305,14 @@ def main():
         "--hero": bench_hero,
         "--raw": raw_cluster_bench,
         "--cornell": bench_cornell,
+        "--megawave": bench_megawave,
     }
     for flag, fn in single.items():
         if flag in sys.argv:
             return fn()
     # default: the full metric vector
-    for fn in (bench_cornell, bench_mixed, bench_hero, wave_bench,
-               grad_overhead, mesh_bench, raw_cluster_bench):
+    for fn in (bench_cornell, bench_megawave, bench_mixed, bench_hero,
+               wave_bench, grad_overhead, mesh_bench, raw_cluster_bench):
         try:
             fn()
         except Exception as e:  # one failure must not hide the rest

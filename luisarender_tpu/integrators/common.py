@@ -106,30 +106,80 @@ def shade_surface(
         (lambda x: jax.lax.stop_gradient(x)) if detach_sampling else (lambda x: x)
     )
 
-    # --- NEE (mega_path.cpp:100-110) ---
-    shadow_out = None
-    if plan.num_lights > 0 or plan.has_environment:
+    do_nee = plan.num_lights > 0 or plan.has_environment
+    if do_nee:
         ls = light_sampler.sample(ctx, it, u_sel, u_light, swl, time)
         ls = {**ls, "pdf": detach(ls["pdf"]), "wi": detach(ls["wi"]),
               "p": detach(ls["p"]), "ng": detach(ls["ng"])}
+        wi_nee = ls["wi"]
+    else:
+        wi_nee = wo
+
+    # --- surface closures: NEE evaluate + BSDF sample in ONE tag-sorted
+    # region (wave_path_v2.cpp:891-928) or the compute-all dispatch ---
+    init_eval = {
+        "f": jnp.zeros((n, c), jnp.float32),
+        "pdf": jnp.zeros((n,), jnp.float32),
+    }
+    init_sample = {
+        "f": jnp.zeros((n, c), jnp.float32),
+        "pdf": jnp.zeros((n,), jnp.float32),
+        "wi": jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3)
+        ),
+        "event": jnp.zeros((n,), jnp.int32),
+        "eta": jnp.ones((n,), jnp.float32),
+    }
+    if surf_base.use_tag_sort(ctx, n):
+        init_tree = {"ev": init_eval, "s": init_sample} if do_nee else {
+            "s": init_sample
+        }
+
+        def shade_one(cls, t, index_blk, it_blk, inputs_blk):
+            rows = surf_base._gather_rows(
+                surf_base.params_arrays(ctx, t), index_blk
+            )
+            swl_b = inputs_blk["swl"]
+            out = {
+                "s": cls.sample(
+                    rows, ctx, it_blk, swl_b, inputs_blk["wo"],
+                    inputs_blk["u_lobe"], inputs_blk["u_bsdf"],
+                )
+            }
+            if do_nee:
+                out["ev"] = cls.evaluate(
+                    rows, ctx, it_blk, swl_b, inputs_blk["wo"],
+                    inputs_blk["wi_nee"],
+                )
+            return out
+
+        inputs = {
+            "swl": swl, "wo": wo, "wi_nee": wi_nee,
+            "u_lobe": u_lobe, "u_bsdf": u_bsdf,
+        }
+        res = surf_base.sorted_tag_apply(
+            ctx, it, inputs, init_tree, shade_one
+        )
+        f_eval = res.get("ev", init_eval)
+        s = res["s"]
+    else:
+        if do_nee:
+            f_eval = surf_base.dispatch(
+                ctx, it, "evaluate", swl, wo, wi_nee, init=init_eval
+            )
+        s = surf_base.dispatch(
+            ctx, it, "sample", swl, wo, u_lobe, u_bsdf, init=init_sample
+        )
+
+    # --- NEE contribution (mega_path.cpp:100-110) ---
+    shadow_out = None
+    if do_nee:
         shadow_ray = ct.spawn_ray_to(it, ls["p"], ls["ng"])
         shadow_pending = active & (ls["pdf"] > 0)
         shadow_ray = shadow_ray._replace(
             t_max=jnp.where(shadow_pending, shadow_ray.t_max, 0.0)
         )
         n_rays = n_rays + jnp.sum(shadow_pending.astype(jnp.int32))
-        f_eval = surf_base.dispatch(
-            ctx,
-            it,
-            "evaluate",
-            swl,
-            wo,
-            ls["wi"],
-            init={
-                "f": jnp.zeros((n, c), jnp.float32),
-                "pdf": jnp.zeros((n,), jnp.float32),
-            },
-        )
         w_mis = safe_div(
             sampling.balance_heuristic(ls["pdf"], f_eval["pdf"]), ls["pdf"]
         )
@@ -153,25 +203,7 @@ def shade_surface(
             "pending": zero_f > 1.0,
         }
 
-    # --- BSDF sampling (mega_path.cpp:131-144) ---
-    s = surf_base.dispatch(
-        ctx,
-        it,
-        "sample",
-        swl,
-        wo,
-        u_lobe,
-        u_bsdf,
-        init={
-            "f": jnp.zeros((n, c), jnp.float32),
-            "pdf": jnp.zeros((n,), jnp.float32),
-            "wi": jnp.broadcast_to(
-                jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3)
-            ),
-            "event": jnp.zeros((n,), jnp.int32),
-            "eta": jnp.ones((n,), jnp.float32),
-        },
-    )
+    # --- BSDF sampling result (mega_path.cpp:131-144) ---
     s = {**s, "wi": detach(s["wi"]), "pdf": detach(s["pdf"])}
     new_ray = ct.spawn_ray(it, s["wi"])
     ray = ct.Ray(

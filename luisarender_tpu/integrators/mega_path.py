@@ -137,6 +137,17 @@ class MegakernelPathTracing(ProgressiveIntegrator):
         self.rr_depth = desc.int("rr_depth", 0)
         self.rr_threshold = desc.float("rr_threshold", 0.95)
 
+    persistent = False  # MegawaveIntegrator flips this
+
+    def _use_persistent(self, compiled, camera):
+        from ..ops import fused_path
+
+        return (
+            self.persistent
+            and fused_path.use_fused(compiled, self.sampler, self.light_sampler)
+            and fused_path.camgen_params(camera, self.render_time) is not None
+        )
+
     def _render_one_camera(self, compiled, camera):
         w, h = camera.film.resolution
         ys, xs = jnp.meshgrid(
@@ -148,6 +159,35 @@ class MegakernelPathTracing(ProgressiveIntegrator):
         sampler = self.sampler
         light_sampler = self.light_sampler
         film = camera.film
+
+        if self._use_persistent(compiled, camera):
+            from ..ops import fused_path
+
+            cam = fused_path.camgen_params(camera, self.render_time)
+            cam = {**cam, "sampler_seed": sampler.seed & 0xFFFFFFFF}
+
+            @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
+            def render_pass_p(arrays, accum, sample_index0, n_samples):
+                rgb_sum, _ = fused_path.trace_paths_fused_persistent(
+                    compiled, arrays, cam, pixel_xy, sample_index0,
+                    n_samples, max_depth=self.max_depth,
+                    rr_depth=self.rr_depth, rr_threshold=self.rr_threshold,
+                    interpret=fused_path.FORCE_INTERPRET,
+                )
+                # accumulate the per-sample MEAN with weight n (the relative
+                # clamp then acts on the mean — per-sample-equivalent)
+                return film.accumulate_image(
+                    accum, rgb_sum.reshape(h, w, 3) / float(n_samples),
+                    jnp.full((h, w), float(n_samples), jnp.float32),
+                )
+
+            accum = self._progressive_loop(
+                film, spp, spd,
+                lambda accum, done, n: render_pass_p(
+                    compiled.arrays, accum, jnp.int32(done), n
+                ),
+            )
+            return film.develop(accum)
 
         @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
         def render_pass(arrays, accum, sample_index0, n_samples):
@@ -180,3 +220,16 @@ class MegakernelPathTracing(ProgressiveIntegrator):
             ),
         )
         return film.develop(accum)
+
+
+@register(SceneNodeTag.INTEGRATOR, "megawave", "MegaWave")
+class MegawaveIntegrator(MegakernelPathTracing):
+    """Persistent-threads megakernel (megawave.cpp:300-470): the whole
+    sample budget of a pass runs inside ONE kernel launch; lanes that finish
+    a path splat it to an in-register accumulator and immediately regenerate
+    their pixel's next sample (ops/fused_path.py persistent mode), so no
+    lane idles at a path boundary — the TPU equivalent of the reference's
+    block-level work redistribution. Scenes outside the fused-kernel class
+    fall back to the plain megapath pass loop."""
+
+    persistent = True

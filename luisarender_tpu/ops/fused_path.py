@@ -609,7 +609,7 @@ def _sin_cos_phi(x, y, sin_theta):
 def _fused_kernel(
     *refs,
     tables, stypes, n_tri, n_inst, n_entry, n_light_tri, max_depth, rr_depth,
-    rr_threshold, p_light, unroll, cam=None,
+    rr_threshold, p_light, unroll, cam=None, persist_spp=0,
 ):
     if cam is None:
         (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmin_r, tmax_r, beta0_r, st_r,
@@ -648,34 +648,40 @@ def _fused_kernel(
         si = si_r[0, 0]
         px_i = px_r[0]
         py_i = py_r[0]
-        st = _xxhash32_4(
-            jax.lax.bitcast_convert_type(
-                jnp.zeros_like(px_i) + si, jnp.uint32
-            ),
-            jax.lax.bitcast_convert_type(px_i, jnp.uint32),
-            jax.lax.bitcast_convert_type(py_i, jnp.uint32),
-            jnp.uint32(cam["sampler_seed"]),
-        )
         px_f = px_i.astype(jnp.float32)
         py_f = py_i.astype(jnp.float32)
         zero = jnp.zeros_like(px_f)
-        st, u0 = _lcg(st)
-        st, u1 = _lcg(st)
-        fx = px_f + 0.5 + (u0 * 2.0 - 1.0) * jnp.float32(cam["radius"])
-        fy = py_f + 0.5 + (u1 * 2.0 - 1.0) * jnp.float32(cam["radius"])
-        pcx = (fx * 2.0 - jnp.float32(cam["resx"])) * jnp.float32(cam["s"])
-        pcy = (fy * 2.0 - jnp.float32(cam["resy"])) * jnp.float32(cam["s"])
-        dcx, dcy, dcz = _normalize3(pcx, -pcy, zero - 1.0)
-        wdx = (jnp.float32(cam["c00"]) * dcx + jnp.float32(cam["c01"]) * dcy
-               + jnp.float32(cam["c02"]) * dcz)
-        wdy = (jnp.float32(cam["c10"]) * dcx + jnp.float32(cam["c11"]) * dcy
-               + jnp.float32(cam["c12"]) * dcz)
-        wdz = (jnp.float32(cam["c20"]) * dcx + jnp.float32(cam["c21"]) * dcy
-               + jnp.float32(cam["c22"]) * dcz)
-        dx, dy, dz = _normalize3(wdx, wdy, wdz)
-        ox = zero + jnp.float32(cam["c03"])
-        oy = zero + jnp.float32(cam["c13"])
-        oz = zero + jnp.float32(cam["c23"])
+
+        def gen_from_cam(si_lane):
+            """Seed + camera ray for per-lane sample index si_lane (i32)."""
+            st = _xxhash32_4(
+                jax.lax.bitcast_convert_type(
+                    jnp.zeros_like(px_i) + si_lane, jnp.uint32
+                ),
+                jax.lax.bitcast_convert_type(px_i, jnp.uint32),
+                jax.lax.bitcast_convert_type(py_i, jnp.uint32),
+                jnp.uint32(cam["sampler_seed"]),
+            )
+            st, u0 = _lcg(st)
+            st, u1 = _lcg(st)
+            fx = px_f + 0.5 + (u0 * 2.0 - 1.0) * jnp.float32(cam["radius"])
+            fy = py_f + 0.5 + (u1 * 2.0 - 1.0) * jnp.float32(cam["radius"])
+            pcx = (fx * 2.0 - jnp.float32(cam["resx"])) * jnp.float32(cam["s"])
+            pcy = (fy * 2.0 - jnp.float32(cam["resy"])) * jnp.float32(cam["s"])
+            dcx, dcy, dcz = _normalize3(pcx, -pcy, zero - 1.0)
+            wdx = (jnp.float32(cam["c00"]) * dcx + jnp.float32(cam["c01"]) * dcy
+                   + jnp.float32(cam["c02"]) * dcz)
+            wdy = (jnp.float32(cam["c10"]) * dcx + jnp.float32(cam["c11"]) * dcy
+                   + jnp.float32(cam["c12"]) * dcz)
+            wdz = (jnp.float32(cam["c20"]) * dcx + jnp.float32(cam["c21"]) * dcy
+                   + jnp.float32(cam["c22"]) * dcz)
+            dx, dy, dz = _normalize3(wdx, wdy, wdz)
+            ox = zero + jnp.float32(cam["c03"])
+            oy = zero + jnp.float32(cam["c13"])
+            oz = zero + jnp.float32(cam["c23"])
+            return st, ox, oy, oz, dx, dy, dz
+
+        st, ox, oy, oz, dx, dy, dz = gen_from_cam(jnp.zeros_like(px_i) + si)
         tmin = zero
         tmax = zero + jnp.float32(_F32_BIG)
         beta_r = zero + 1.0
@@ -689,7 +695,9 @@ def _fused_kernel(
     eta_scale = zero + 1.0
     nrays = jnp.zeros(ox.shape, jnp.int32)
 
-    def bounce(i, carry):
+    def bounce(dep, carry):
+        # dep: per-lane f32 bounce depth (a constant vector in the unrolled
+        # megapath; a live carry in the persistent megawave mode)
         (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
          beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf,
          eta_scale, nrays) = carry
@@ -1035,7 +1043,7 @@ def _fused_kernel(
 
         # --- Russian roulette (bounce_step) -------------------------------
         q = jnp.maximum(beta_max * eta_scale, 0.05)
-        do_rr = ((i + 1) >= rr_depth) & active
+        do_rr = ((dep + 1.0) >= float(rr_depth)) & active
         small_q = q < jnp.float32(rr_threshold)
         kill = do_rr & small_q & (u_rr >= q)
         boost = jnp.where(
@@ -1044,7 +1052,7 @@ def _fused_kernel(
         beta_r = beta_r * boost
         beta_g = beta_g * boost
         beta_b = beta_b * boost
-        active = active & ~kill & ((i + 1) < max_depth)
+        active = active & ~kill & ((dep + 1.0) < float(max_depth))
         active_f = jnp.where(active, 1.0, 0.0)
 
         return (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
@@ -1054,15 +1062,95 @@ def _fused_kernel(
     carry = (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
              beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf,
              eta_scale, nrays)
+    if persist_spp:
+        # --- persistent megawave mode (megawave.cpp:300-470 re-imagined):
+        # each lane owns its pixel and runs ALL persist_spp samples inside
+        # ONE kernel; when a path dies its radiance is splatted to a lane
+        # accumulator and the lane immediately regenerates its pixel's next
+        # sample in-kernel — no lane ever idles at a path boundary (the
+        # unrolled megapath pays the dead tail of every bounce). The
+        # while_loop runs until every lane exhausted its samples; a hard
+        # iteration cap guards against pathological RR sequences.
+        assert cam is not None, "persistent mode requires in-kernel camgen"
+        samp = jnp.zeros(zero.shape, jnp.int32)
+        dep = zero
+        acc_r = zero
+        acc_g = zero
+        acc_b = zero
+        max_iters = persist_spp * max_depth + 8
+
+        def p_cond(state):
+            it_ctr = state[0]
+            active_f = state[2][15]
+            return (it_ctr < max_iters) & jnp.any(active_f > 0.5)
+
+        def p_body(state):
+            it_ctr, (samp, dep, acc_r, acc_g, acc_b), carry = state
+            was_active = carry[15] > 0.5
+            carry = bounce(dep, carry)
+            (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
+             beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f, pdf_bsdf,
+             eta_scale, nrays) = carry
+            now_active = active_f > 0.5
+            died = was_active & ~now_active
+            # splat the finished path
+            acc_r = acc_r + jnp.where(died, L_r, 0.0)
+            acc_g = acc_g + jnp.where(died, L_g, 0.0)
+            acc_b = acc_b + jnp.where(died, L_b, 0.0)
+            samp = samp + died.astype(jnp.int32)
+            regen = died & (samp < persist_spp)
+            st_n, ox_n, oy_n, oz_n, dx_n, dy_n, dz_n = gen_from_cam(
+                jnp.zeros_like(samp) + si + samp
+            )
+            sel = lambda a, b: jnp.where(regen, a, b)
+            ox = sel(ox_n, ox)
+            oy = sel(oy_n, oy)
+            oz = sel(oz_n, oz)
+            dx = sel(dx_n, dx)
+            dy = sel(dy_n, dy)
+            dz = sel(dz_n, dz)
+            st = jnp.where(regen, st_n, st)
+            tmin = sel(zero, tmin)
+            tmax = sel(zero + jnp.float32(_F32_BIG), tmax)
+            beta_r = sel(zero + 1.0, beta_r)
+            beta_g = sel(zero + 1.0, beta_g)
+            beta_b = sel(zero + 1.0, beta_b)
+            L_r = sel(zero, L_r)
+            L_g = sel(zero, L_g)
+            L_b = sel(zero, L_b)
+            pdf_bsdf = sel(zero + 1e16, pdf_bsdf)
+            eta_scale = sel(zero + 1.0, eta_scale)
+            dep = jnp.where(regen, 0.0, dep + jnp.where(now_active, 1.0, 0.0))
+            active_f = jnp.where(regen, 1.0, active_f)
+            carry = (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
+                     beta_r, beta_g, beta_b, L_r, L_g, L_b, active_f,
+                     pdf_bsdf, eta_scale, nrays)
+            return it_ctr + 1, (samp, dep, acc_r, acc_g, acc_b), carry
+
+        _, (samp, dep, acc_r, acc_g, acc_b), carry = jax.lax.while_loop(
+            p_cond, p_body, (jnp.int32(0), (samp, dep, acc_r, acc_g, acc_b),
+                             carry)
+        )
+        # a lane can exit the cap-bound loop mid-path only in pathological
+        # cases; its partial L is dropped (bounded bias guard, never hit in
+        # practice: the cap is spp*max_depth+8 and a path takes <= max_depth)
+        lr_o[0] = acc_r
+        lg_o[0] = acc_g
+        lb_o[0] = acc_b
+        nrays_o[0] = carry[18]
+        return
     if unroll:
         # static unroll: no loop-carried vregs to spill, and Mosaic hoists
         # the scalar triangle-table loads across bounces (238 vs 224 Mray/s)
         for i in range(max_depth):
-            carry = bounce(i, carry)
+            carry = bounce(zero + float(i), carry)
     else:
         # interpret mode traces the body once; unrolling would make the
         # CPU-interpret tests intractably slow
-        carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
+        carry = jax.lax.fori_loop(
+            0, max_depth,
+            lambda i, c: bounce(zero + i.astype(jnp.float32), c), carry
+        )
     (_, _, _, _, _, _, _, _, _,
      _, _, _, L_r, L_g, L_b, _, _, _, nrays) = carry
     lr_o[0] = L_r
@@ -1154,7 +1242,8 @@ def _host_tables(compiled):
 
 
 def _run_kernel(compiled, arrays, comps, n, nb, in_specs, *, cam,
-                max_depth, rr_depth, rr_threshold, interpret):
+                max_depth, rr_depth, rr_threshold, interpret,
+                persist_spp=0):
     tables = _host_tables(compiled)
     n_entry = compiled.plan.num_lights
     kernel = partial(
@@ -1171,6 +1260,7 @@ def _run_kernel(compiled, arrays, comps, n, nb, in_specs, *, cam,
         p_light=1.0 / max(n_entry, 1),
         unroll=UNROLL_DEPTH and not interpret,
         cam=cam,
+        persist_spp=int(persist_spp),
     )
     lr, lg, lb, nrays = pl.pallas_call(
         kernel,
@@ -1254,6 +1344,29 @@ def trace_paths_fused_camgen(
         compiled, arrays, comps, n, nb,
         [_ray_spec, _ray_spec, _smem_spec], cam=cam, max_depth=max_depth,
         rr_depth=rr_depth, rr_threshold=rr_threshold, interpret=interpret,
+    )
+
+
+def trace_paths_fused_persistent(
+    compiled, arrays, cam, pixel_xy, sample_index0, n_samples, *, max_depth,
+    rr_depth, rr_threshold, interpret=False,
+):
+    """Persistent megawave kernel: runs n_samples samples per pixel inside
+    ONE launch with in-kernel path regeneration (no per-sample dead tail).
+    Returns (rgb_sum (N, 3) — the SUM over n_samples — and n_rays)."""
+    n = pixel_xy.shape[0]
+    pad = (-n) % BLK
+    nb = (n + pad) // BLK
+    comps = [
+        _blocked(pixel_xy[..., 0], pad, nb),
+        _blocked(pixel_xy[..., 1], pad, nb),
+        jnp.reshape(jnp.asarray(sample_index0, jnp.int32), (1, 1)),
+    ]
+    return _run_kernel(
+        compiled, arrays, comps, n, nb,
+        [_ray_spec, _ray_spec, _smem_spec], cam=cam, max_depth=max_depth,
+        rr_depth=rr_depth, rr_threshold=rr_threshold, interpret=interpret,
+        persist_spp=n_samples,
     )
 
 

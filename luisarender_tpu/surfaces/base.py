@@ -184,6 +184,177 @@ def params_arrays(ctx, type_index):
     return ctx.arrays["surfaces"][type_index]
 
 
+# ---------------------------------------------------------------------------
+# Tag-sorted blocked dispatch (wave_path_v2.cpp:891-928 surface-tag counting
+# sort, re-imagined for XLA static shapes): sort lanes by surface tag with a
+# variadic lax.sort (TPU sorts are fast; 1M-index gathers are not), cut the
+# sorted axis into fixed blocks, and lax.switch each block to the single
+# surface type it contains. Mixed boundary blocks (at most n_types-1 of
+# them) fall back to compute-all-masked; blocks of dead lanes short-circuit
+# to the init template — late bounces with mostly-terminated lanes pay ~0
+# shading cost. Results are unsorted by carrying the inverse permutation
+# through a second sort.
+# ---------------------------------------------------------------------------
+
+_DEAD_TAG = 0x3FFFFFFF
+
+# min lanes for tag-sorted shading: below this the sort costs more than the
+# per-type savings (sorts are ~ms-scale at 1M lanes)
+TAG_SORT_MIN_LANES = 32768
+
+
+def use_tag_sort(ctx, n) -> bool:
+    import os
+
+    if os.environ.get("LUISARENDER_TPU_NO_TAGSORT"):
+        return False
+    if n < TAG_SORT_MIN_LANES:
+        return False
+    # pays when >1 surface type (skip whole types per block) or whenever
+    # many lanes are dead (dead blocks short-circuit); with a single cheap
+    # type and mostly-live lanes it's a wash — require multiple types
+    return len(ctx.plan.surface_types) >= 2
+
+
+def _tree_cols(tree):
+    """Flatten a pytree of (n,) / (n, k) arrays into (n,) f32/i32 sort
+    columns + a rebuild spec."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols = []
+    spec = []
+    for leaf in leaves:
+        dt = leaf.dtype
+        width = 0 if leaf.ndim == 1 else leaf.shape[1]
+        if dt == jnp.bool_:
+            conv = lambda c: c.astype(jnp.int32)
+            back = lambda c: c.astype(jnp.bool_)
+        else:
+            conv = lambda c: c
+            back = lambda c: c
+        if width == 0:
+            cols.append(conv(leaf))
+            spec.append((back, 0))
+        else:
+            for j in range(width):
+                cols.append(conv(leaf[:, j]))
+            spec.append((back, width))
+    return cols, (treedef, spec)
+
+
+def _tree_uncols(cols, meta):
+    treedef, spec = meta
+    leaves = []
+    i = 0
+    for back, width in spec:
+        if width == 0:
+            leaves.append(back(cols[i]))
+            i += 1
+        else:
+            leaves.append(back(jnp.stack(cols[i:i + width], axis=-1)))
+            i += width
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def sorted_tag_apply(ctx, it, inputs, init, per_type_fn, block=8192):
+    """Apply `per_type_fn(surf_cls, type_index, it_blk, inputs_blk)` over
+    lanes grouped by surface tag. Returns a pytree shaped like `init`
+    (per-lane results in original lane order).
+
+    inputs: pytree of per-lane arrays riding the sort with `it`.
+    init: pytree template for dead lanes AND the mixed-block fallback's
+    accumulator (same role as dispatch()'s init).
+    """
+    n = it.p.shape[0]
+    types = ctx.plan.surface_types
+    inst = ctx.arrays["instances"]
+    meta = gather_param_rows(
+        {"tag": inst["surface_tag"], "idx": inst["surface_index"]}, it.inst
+    )
+    tag = jnp.where(it.valid, meta["tag"], _DEAD_TAG).astype(jnp.int32)
+    index = meta["idx"]
+
+    in_cols, in_meta = _tree_cols((it, index, inputs))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    pad = (-n) % block
+    if pad:
+        tag = jnp.pad(tag, (0, pad), constant_values=_DEAD_TAG)
+        iota = jnp.pad(iota, (0, pad), constant_values=n)
+        in_cols = [jnp.pad(c, (0, pad)) for c in in_cols]
+    sorted_all = jax.lax.sort((tag, iota, *in_cols), num_keys=1)
+    s_tag, s_iota = sorted_all[0], sorted_all[1]
+    s_it, s_index, s_inputs = _tree_uncols(list(sorted_all[2:]), in_meta)
+
+    nb = (n + pad) // block
+
+    def reshape_blk(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((nb, block) + x.shape[1:]), tree
+        )
+
+    b_tag = s_tag.reshape(nb, block)
+    b_it, b_index, b_inputs = (
+        reshape_blk(s_it), s_index.reshape(nb, block), reshape_blk(s_inputs)
+    )
+    # dead lanes get the init VALUES (dispatch() semantics). init must be
+    # lane-uniform (zeros / broadcast constants) — true for every call site.
+    init_blk = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[:1], (block,) + x.shape[1:]), init
+    )
+
+    def one_block(args):
+        tag_blk, it_blk, index_blk, inputs_blk = args
+        t_first = tag_blk[0]
+        uniform = (tag_blk[block - 1] == t_first) & (t_first < _DEAD_TAG)
+
+        def make_branch(t):
+            def branch(_):
+                return per_type_fn(types[t], t, index_blk, it_blk, inputs_blk)
+
+            return branch
+
+        def dead_branch(_):
+            return init_blk
+
+        def mixed_branch(_):
+            out = init_blk
+            for t, cls in enumerate(types):
+                mask = it_blk.valid & (tag_blk == t)
+                val = per_type_fn(cls, t, index_blk, it_blk, inputs_blk)
+                out = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        mask.reshape(
+                            mask.shape + (1,) * (new.ndim - mask.ndim)
+                        ),
+                        new,
+                        old,
+                    ),
+                    val,
+                    out,
+                )
+            return out
+
+        branches = [make_branch(t) for t in range(len(types))]
+        branches.append(mixed_branch)
+        branches.append(dead_branch)
+        which = jnp.where(
+            t_first >= _DEAD_TAG,
+            len(types) + 1,
+            jnp.where(uniform, t_first, len(types)),
+        )
+        return jax.lax.switch(which, branches, None)
+
+    out_blocks = jax.lax.map(one_block, (b_tag, b_it, b_index, b_inputs))
+    out_sorted = jax.tree_util.tree_map(
+        lambda x: x.reshape((nb * block,) + x.shape[2:]), out_blocks
+    )
+    out_cols, out_meta = _tree_cols(out_sorted)
+    unsorted = jax.lax.sort((s_iota, *out_cols), num_keys=1)
+    result = _tree_uncols(list(unsorted[1:]), out_meta)
+    if pad:
+        result = jax.tree_util.tree_map(lambda x: x[:n], result)
+    return result
+
+
 def any_dispersive(ctx) -> bool:
     """Static: does any surface type in the plan support dispersion?"""
     return any(

@@ -155,3 +155,55 @@ class TestFusedPath:
         assert abs(img_ref.mean() - img_f.mean()) < 0.02 * max(
             img_ref.mean(), 1e-6
         ), (img_ref.mean(), img_f.mean())
+
+
+class TestPersistentMegawave:
+    """ops/fused_path.py persistent mode (megawave.cpp:300-470): in-kernel
+    sample regeneration must reproduce the per-sample kernel bit-for-bit."""
+
+    def test_matches_per_sample_sum(self):
+        import jax.numpy as jnp
+
+        from luisarender_tpu.ops import fused_path as fp
+
+        d = testing.cornell_box(resolution=(16, 16), spp=1, depth=3)
+        scene = lr.Scene.from_dict(d)
+        compiled = lr.compile_scene(scene)
+        integ = scene.integrator
+        cam = fp.camgen_params(scene.cameras[0], 0.0)
+        cam = {**cam, "sampler_seed": integ.sampler.seed & 0xFFFFFFFF}
+        ys, xs = jnp.meshgrid(
+            jnp.arange(16, dtype=jnp.int32), jnp.arange(16, dtype=jnp.int32),
+            indexing="ij",
+        )
+        pxy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+        tot = 0.0
+        for s in range(4):
+            rgb, _ = fp.trace_paths_fused_camgen(
+                compiled, compiled.arrays, cam, pxy, jnp.int32(s),
+                max_depth=3, rr_depth=0, rr_threshold=0.95, interpret=True,
+            )
+            tot = tot + rgb
+        rgb_p, _ = fp.trace_paths_fused_persistent(
+            compiled, compiled.arrays, cam, pxy, jnp.int32(0), 4,
+            max_depth=3, rr_depth=0, rr_threshold=0.95, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tot), np.asarray(rgb_p), atol=1e-6
+        )
+
+    def test_megawave_integrator_matches_megapath(self):
+        from luisarender_tpu.ops import fused_path as fp
+
+        old = fp.FORCE_INTERPRET
+        fp.FORCE_INTERPRET = True
+        try:
+            d = testing.cornell_box(
+                resolution=(16, 16), spp=8, depth=3, integrator="megawave"
+            )
+            img_w = lr.render(lr.Scene.from_dict(d))["cornell.exr"]
+            d2 = testing.cornell_box(resolution=(16, 16), spp=8, depth=3)
+            img_m = lr.render(lr.Scene.from_dict(d2))["cornell.exr"]
+            np.testing.assert_allclose(img_w, img_m, atol=1e-5)
+        finally:
+            fp.FORCE_INTERPRET = old
