@@ -157,7 +157,7 @@ def shade_surface(
             "swl": swl, "wo": wo, "wi_nee": wi_nee,
             "u_lobe": u_lobe, "u_bsdf": u_bsdf,
         }
-        res = surf_base.sorted_tag_apply(
+        res = surf_base.blocked_tag_apply(
             ctx, it, inputs, init_tree, shade_one
         )
         f_eval = res.get("ev", init_eval)

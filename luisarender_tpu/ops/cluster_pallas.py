@@ -61,14 +61,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 ENABLED = True
 CLUSTER = 128  # triangles per leaf = DMA block (= lane width; (16,128) block)
 # NOTE: finer-than-block leaves (e.g. 64-tri) measured SLOWER on v5e (7.7 vs
 # 9.8 Mray/s camera: per-visit fixed costs dominate, so more+smaller leaves
 # lose); 128 it is.
-BLOCK = 1024  # rays per grid step (8 sublanes x 128 lanes)
+# BLOCK/K_CHUNK are env-overridable for on-hardware tuning sweeps only.
+BLOCK = int(_os.environ.get("LR_CLUSTER_BLOCK", 1024))  # rays per grid step
 SUB = BLOCK // 128
-K_CHUNK = 8  # leaf clusters collected per traversal chunk (DMA pipeline depth)
+K_CHUNK = int(_os.environ.get("LR_CLUSTER_KCHUNK", 8))  # DMA pipeline depth
 STACK_DEPTH = 64  # complete-binary-tree depth bound (<= 2^26 clusters) + slack
 TRI_COLS = 16  # v0.xyz e1.xyz e2.xyz valid opaque slot pad...
 NODE_COLS = 8  # min.xyz max.xyz right/-1 first/-1
@@ -140,11 +143,24 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     node[:, 0:3] = bvh.aabb_min
     node[:, 3:6] = bvh.aabb_max
     # interior: col 6 = right child = skip[node+1] (the left child's skip
-    # link points past the left subtree, i.e. at the right child); leaf: -1
+    # link points past the left subtree, i.e. at the right child); leaf: -1.
+    # The FRACTION of col 6 encodes the near-child-first traversal hint:
+    # +axis/4 (dominant child-separation axis) and +1/16 when the LEFT child
+    # lies on the HIGH side of that axis — the kernel picks the near child
+    # from the packet's mean-direction sign with zero extra node reads
+    # (exact for < 2^20 nodes in f32).
     right = np.full(n, -1.0, np.float32)
     interior = np.nonzero(~is_leaf)[0]
     if interior.size:
-        right[interior] = bvh.skip[interior + 1]
+        right_i = bvh.skip[interior + 1]
+        right[interior] = right_i
+        left_i = interior + 1
+        c_l = 0.5 * (bvh.aabb_min[left_i] + bvh.aabb_max[left_i])
+        c_r = 0.5 * (bvh.aabb_min[right_i] + bvh.aabb_max[right_i])
+        sep = c_r - c_l
+        axis = np.argmax(np.abs(sep), axis=-1)
+        left_high = np.take_along_axis(sep, axis[:, None], axis=-1)[:, 0] < 0.0
+        right[interior] += axis * 0.25 + left_high * 0.0625
     node[:, 6] = right
     # leaf payload = block index (leaf rank in pre-order); -1 for interior
     node[:, 7] = np.where(is_leaf, np.cumsum(is_leaf) - 1, -1).astype(
@@ -226,6 +242,10 @@ def _traverse_kernel(
     # packet mean direction (for near-child-first ordering); three one-time
     # vector->scalar reductions
     mdx, mdy, mdz = jnp.sum(dx), jnp.sum(dy), jnp.sum(dz)
+    # any-hit mode: lanes that are dead on entry (t_max <= t_min — padding
+    # and terminated shadow rays) count as already-found for the all-found
+    # early exit
+    entry_dead = tmax_ref[0] <= t_min
 
     stack_ref[0] = 0
 
@@ -237,16 +257,13 @@ def _traverse_kernel(
         row = _fetch_node(node_ref, idx)
         return tuple(row[0, c] for c in range(NODE_COLS))
 
-    def start_dma(list_idx, slot):
-        return pltpu.make_async_copy(
-            tri_hbm.at[leaf_first_ref[list_idx]],
-            buf_ref.at[slot],
-            sem_ref.at[slot],
-        )
-
     def outer_cond(c):
-        sp, steps, *_ = c
-        return (sp > 0) & (steps < max_steps)
+        sp, steps, best_t, best_s, *_ = c
+        go = (sp > 0) & (steps < max_steps)
+        if opaque_only:
+            # any-hit: stop as soon as every live lane has its occluder
+            go &= jnp.logical_not(jnp.all((best_s >= 0) | entry_dead))
+        return go
 
     def outer_body(c):
         sp, steps, best_t, best_s, best_u, best_v = c
@@ -261,7 +278,13 @@ def _traverse_kernel(
             node = stack_ref[sp - 1]
             row = read_node(node)
             hit = jnp.any(_slab(row, ox, oy, oz, ix, iy, iz, t_min, best_t))
-            right = row[6].astype(jnp.int32)
+            # col 6 = right child index + axis/4 + left_high/16 (leaf: -1);
+            # see build_cluster_tables
+            renc = row[6]
+            right = jnp.floor(renc).astype(jnp.int32)
+            frac4 = (renc - right) * 4.0
+            axis = jnp.floor(frac4 + 0.25).astype(jnp.int32)
+            left_high = (frac4 - axis) > 0.125
             first = row[7].astype(jnp.int32)
             is_leaf = first >= 0
             take_leaf = hit & is_leaf
@@ -274,31 +297,17 @@ def _traverse_kernel(
 
             @pl.when(push)
             def _():
-                if smem_nodes:
-                    # ordered traversal: pop the nearer child first (along
-                    # the packet's mean direction) so best_t tightens early
-                    # and prunes the far subtree + later leaf clusters
-                    left = node + 1
-                    lrow = read_node(left)
-                    rrow = read_node(right)
-                    score_l = (
-                        (lrow[0] + lrow[3]) * mdx
-                        + (lrow[1] + lrow[4]) * mdy
-                        + (lrow[2] + lrow[5]) * mdz
-                    )
-                    score_r = (
-                        (rrow[0] + rrow[3]) * mdx
-                        + (rrow[1] + rrow[4]) * mdy
-                        + (rrow[2] + rrow[5]) * mdz
-                    )
-                    l_far = score_l > score_r
-                    stack_ref[sp - 1] = jnp.where(l_far, left, right)
-                    stack_ref[sp] = jnp.where(l_far, right, left)
-                else:
-                    # overwrite the popped slot with the right child, then
-                    # the left child on top (Morton order walk)
-                    stack_ref[sp - 1] = right
-                    stack_ref[sp] = node + 1
+                # near-child-first: the packet's mean-direction sign along
+                # the stored separation axis picks the near child with NO
+                # extra node reads; best_t then tightens early and prunes
+                # the far subtree + later leaf clusters
+                left = node + 1
+                md = jnp.where(
+                    axis == 0, mdx, jnp.where(axis == 1, mdy, mdz)
+                )
+                left_near = (md >= 0.0) != left_high
+                stack_ref[sp - 1] = jnp.where(left_near, right, left)
+                stack_ref[sp] = jnp.where(left_near, left, right)
 
             sp = jnp.where(push, sp + 1, sp - 1)
             nl = nl + take_leaf.astype(jnp.int32)
@@ -306,23 +315,29 @@ def _traverse_kernel(
 
         sp, nl, steps = jax.lax.while_loop(a_cond, a_body, (sp, 0, steps))
 
-        # ---- Phase B: double-buffered DMA + dense cluster tests
-        @pl.when(nl > 0)
-        def _():
-            start_dma(0, 0).start()
+        # ---- Phase B: deep-pipelined DMA (all collected clusters in
+        # flight at once — one buffer+semaphore per chunk slot) + dense
+        # cluster tests
+        def dma_start(i, _):
+            @pl.when(i < nl)
+            def _():
+                pltpu.make_async_copy(
+                    tri_hbm.at[leaf_first_ref[i]],
+                    buf_ref.at[i],
+                    sem_ref.at[i],
+                ).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, K_CHUNK, dma_start, 0, unroll=True)
 
         def b_body(j, carry):
             best_t, best_s, best_u, best_v = carry
-            slot = jax.lax.rem(j, 2)
             pltpu.make_async_copy(
                 tri_hbm.at[leaf_first_ref[j]],
-                buf_ref.at[slot],
-                sem_ref.at[slot],
+                buf_ref.at[j],
+                sem_ref.at[j],
             ).wait()
-
-            @pl.when(j + 1 < nl)
-            def _():
-                start_dma(j + 1, jax.lax.rem(j + 1, 2)).start()
 
             # re-test the leaf AABB against the CURRENT best_t (phase-A
             # collection used the pre-chunk best) — skip pruned clusters
@@ -333,13 +348,11 @@ def _traverse_kernel(
             # reads compile-time scalar addresses (brute_pallas pattern);
             # predicated ref-to-ref copies, NOT a value-returning lax.cond
             # with side effects (Mosaic mishandles those)
-            @pl.when(slot == 0)
-            def _():
-                work_ref[:] = buf_ref[0]
+            for k in range(K_CHUNK):
 
-            @pl.when(slot != 0)
-            def _():
-                work_ref[:] = buf_ref[1]
+                @pl.when(j == k)
+                def _(k=k):
+                    work_ref[:] = buf_ref[k]
 
             def do_tests(carry):
                 best_t, best_s, best_u, best_v = carry
@@ -380,6 +393,10 @@ def _traverse_kernel(
         best_t, best_s, best_u, best_v = jax.lax.fori_loop(
             0, nl, b_body, (best_t, best_s, best_u, best_v)
         )
+        if opaque_only:
+            # any-hit: found lanes stop pulling clusters into the packet
+            # union (their slab window collapses), shrinking later chunks
+            best_t = jnp.where(best_s >= 0, -_BIG, best_t)
         return sp, steps, best_t, best_s, best_u, best_v
 
     shape = ox.shape
@@ -427,23 +444,29 @@ _ray_spec = pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0), memory_space=pltpu.
 MIN_SORT_RAYS = 32768  # below this the sort costs more than it saves
 
 
+SORT_KEY_MODE = int(_os.environ.get("LR_SORT_KEY", 0))
+
+
 def _coherence_keys(o, d, t_min, t_max, node_table):
     """Packet-coherence sort keys: origin Morton (6 bits/axis, scene-AABB
     normalized, from the root node record) major, direction Morton (4
     bits/axis over [-1,1], top bit = sign/octant) minor.
 
-    The kernel traverses per 1024-ray packet speculatively (a node is
+    The kernel traverses per BLOCK-ray packet speculatively (a node is
     entered when ANY lane hits it), so throughput is set by how many
     clusters the PACKET union touches: measured 14.3 clusters/packet for
     coherent camera rays vs 94.3 for random bounce rays on the same scene.
     Sorting bounce/shadow rays into coherent packets recovers most of the
     gap for the cost of one argsort + two gathers. The direction-minor bits
     matter for shared-origin ray sets (camera, point-light shadow batches)
-    where the origin cell is degenerate."""
+    where the origin cell is degenerate.
+
+    SORT_KEY_MODE (experimental, env LR_SORT_KEY): 0 = origin-major +
+    direction-minor; 1 = 6D interleaved origin/direction Morton (5 bits
+    each); 2 = ray-MIDPOINT cell major (finite rays; corridor clustering
+    for NEE shadow rays) + direction minor."""
     lo = node_table[0, 0:3]
     ext = jnp.maximum(node_table[0, 3:6] - lo, 1e-12)
-    qo = jnp.clip((o - lo) / ext * 63.0, 0.0, 63.0).astype(jnp.uint32)
-    qd = jnp.clip((d * 0.5 + 0.5) * 15.0, 0.0, 15.0).astype(jnp.uint32)
 
     def spread(x):  # interleave: every 3rd bit (10-bit part1by2)
         x = (x | (x << 16)) & jnp.uint32(0xFF0000FF)
@@ -455,9 +478,26 @@ def _coherence_keys(o, d, t_min, t_max, node_table):
     def morton(q):
         return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
 
-    key = ((morton(qo) << 12) | morton(qd)).astype(jnp.int32)
+    if SORT_KEY_MODE == 1:
+        # 6D Morton: alternate origin (5b) / direction (5b) bit planes so
+        # neither dominates; divergent-direction ray sets (NEE shadows)
+        # split into narrower direction cones earlier
+        qo = jnp.clip((o - lo) / ext * 31.0, 0.0, 31.0).astype(jnp.uint32)
+        qd = jnp.clip((d * 0.5 + 0.5) * 31.0, 0.0, 31.0).astype(jnp.uint32)
+        key = (morton(qo) << 1 | morton(qd)).astype(jnp.int32)
+    elif SORT_KEY_MODE == 2:
+        diag = jnp.sqrt(jnp.sum(ext * ext))
+        span = jnp.minimum(t_max, diag)
+        mp = o + 0.5 * span[..., None] * d
+        qo = jnp.clip((mp - lo) / ext * 63.0, 0.0, 63.0).astype(jnp.uint32)
+        qd = jnp.clip((d * 0.5 + 0.5) * 15.0, 0.0, 15.0).astype(jnp.uint32)
+        key = ((morton(qo) << 12) | morton(qd)).astype(jnp.int32)
+    else:
+        qo = jnp.clip((o - lo) / ext * 63.0, 0.0, 63.0).astype(jnp.uint32)
+        qd = jnp.clip((d * 0.5 + 0.5) * 15.0, 0.0, 15.0).astype(jnp.uint32)
+        key = ((morton(qo) << 12) | morton(qd)).astype(jnp.int32)
     # terminated lanes (integrators mask them with t_max <= t_min) sort to
-    # the TAIL so whole 1024-ray packets of dead rays exit the kernel at the
+    # the TAIL so whole packets of dead rays exit the kernel at the
     # root test — late bounces are mostly dead and otherwise pay full price
     return jnp.where(t_max <= t_min, jnp.int32(0x40000000), key)
 
@@ -466,6 +506,11 @@ def _coherence_keys(o, d, t_min, t_max, node_table):
 def _trace(o, d, t_min, t_max, node_table, tri_table,
            opaque_only=False, interpret=False):
     n = o.shape[0]
+    # materialize the ray components ONCE before the coherence sort: the
+    # sort consumes them as 8 separate operands, and without the barrier XLA
+    # fuses (duplicates) the whole upstream ray-construction graph into each
+    # operand's producer
+    o, d, t_min, t_max = jax.lax.optimization_barrier((o, d, t_min, t_max))
     orig = None
     if n >= MIN_SORT_RAYS:
         # Apply the coherence permutation with VARIADIC SORTS, not
@@ -513,9 +558,9 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, TRI_COLS, CLUSTER), jnp.float32),  # DMA buffers
+            pltpu.VMEM((K_CHUNK, TRI_COLS, CLUSTER), jnp.float32),  # DMA bufs
             pltpu.VMEM((TRI_COLS, CLUSTER), jnp.float32),  # staged work block
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((K_CHUNK,)),
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((K_CHUNK,), jnp.int32),
             pltpu.SMEM((K_CHUNK,), jnp.int32),

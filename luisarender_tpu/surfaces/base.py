@@ -185,82 +185,63 @@ def params_arrays(ctx, type_index):
 
 
 # ---------------------------------------------------------------------------
-# Tag-sorted blocked dispatch (wave_path_v2.cpp:891-928 surface-tag counting
-# sort, re-imagined for XLA static shapes): sort lanes by surface tag with a
-# variadic lax.sort (TPU sorts are fast; 1M-index gathers are not), cut the
-# sorted axis into fixed blocks, and lax.switch each block to the single
-# surface type it contains. Mixed boundary blocks (at most n_types-1 of
-# them) fall back to compute-all-masked; blocks of dead lanes short-circuit
-# to the init template — late bounces with mostly-terminated lanes pay ~0
-# shading cost. Results are unsorted by carrying the inverse permutation
-# through a second sort.
+# Blocked coherent dispatch (wave_path_v2.cpp:891-928 surface-tag counting
+# sort, re-imagined for the TPU's actual cost model): lanes are cut into
+# fixed blocks IN PLACE and each block lax.switches to the single surface
+# type it contains; mixed blocks fall back to compute-all-masked and blocks
+# of dead lanes short-circuit to the init template — late bounces with
+# mostly-terminated lanes pay ~0 shading cost.
+#
+# Why no actual sort: every permutation mechanism measured on v5e loses.
+# A wide variadic lax.sort carrying the ~35 shading columns never finishes
+# XLA-TPU compilation (>20 min; operand-count blowup in the comparator
+# codegen); splitting it into narrow same-key sorts gets re-merged by XLA's
+# sort combiner back into the wide sort (5x9-op grouped sorts also >20 min);
+# and applying a (key, iota)-sort permutation with a row gather costs ~61 ms
+# per (1M, 35) apply — several times the shading it would save. Instead we
+# exploit the coherence that ALREADY exists: camera rays are screen-ordered
+# and bounce waves are Morton-sorted for the cluster tracer, so consecutive
+# lanes overwhelmingly hit the same material; blocks inherit that purity for
+# free, with zero data movement.
 # ---------------------------------------------------------------------------
 
 _DEAD_TAG = 0x3FFFFFFF
 
-# min lanes for tag-sorted shading: below this the sort costs more than the
-# per-type savings (sorts are ~ms-scale at 1M lanes)
+# min lanes for blocked dispatch: below this one block covers everything and
+# the switch machinery is pure overhead
 TAG_SORT_MIN_LANES = 32768
 
 
 def use_tag_sort(ctx, n) -> bool:
+    """Whether shading should use blocked dispatch instead of compute-all.
+
+    DEFAULT OFF, by measurement: on v5e (512k-tri scene, 921600 lanes,
+    matte+disney+null) the compute-all dispatch's marginal cost inside a
+    fused bounce program is ~3 ms — XLA fuses every closure into the
+    surrounding elementwise stream, so computing all types for all lanes is
+    nearly free — while blocked dispatch measured ~6 ms (lax.map slice/
+    update machinery exceeds the work it skips). The reference's tag sort
+    (wave_path_v2.cpp:891-928) pays on GPUs because divergent warps
+    serialize closure code; XLA's dense SIMD execution has no such penalty
+    until closures contain per-type GATHERS (image-atlas-heavy scenes),
+    where skipping whole blocks can still win: opt in with
+    LUISARENDER_TPU_TAGSORT=1."""
     import os
 
-    if os.environ.get("LUISARENDER_TPU_NO_TAGSORT"):
+    if not os.environ.get("LUISARENDER_TPU_TAGSORT"):
         return False
     if n < TAG_SORT_MIN_LANES:
         return False
-    # pays when >1 surface type (skip whole types per block) or whenever
-    # many lanes are dead (dead blocks short-circuit); with a single cheap
-    # type and mostly-live lanes it's a wash — require multiple types
     return len(ctx.plan.surface_types) >= 2
 
 
-def _tree_cols(tree):
-    """Flatten a pytree of (n,) / (n, k) arrays into (n,) f32/i32 sort
-    columns + a rebuild spec."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    cols = []
-    spec = []
-    for leaf in leaves:
-        dt = leaf.dtype
-        width = 0 if leaf.ndim == 1 else leaf.shape[1]
-        if dt == jnp.bool_:
-            conv = lambda c: c.astype(jnp.int32)
-            back = lambda c: c.astype(jnp.bool_)
-        else:
-            conv = lambda c: c
-            back = lambda c: c
-        if width == 0:
-            cols.append(conv(leaf))
-            spec.append((back, 0))
-        else:
-            for j in range(width):
-                cols.append(conv(leaf[:, j]))
-            spec.append((back, width))
-    return cols, (treedef, spec)
-
-
-def _tree_uncols(cols, meta):
-    treedef, spec = meta
-    leaves = []
-    i = 0
-    for back, width in spec:
-        if width == 0:
-            leaves.append(back(cols[i]))
-            i += 1
-        else:
-            leaves.append(back(jnp.stack(cols[i:i + width], axis=-1)))
-            i += width
-    return jax.tree_util.tree_unflatten(treedef, leaves)
-
-
-def sorted_tag_apply(ctx, it, inputs, init, per_type_fn, block=8192):
+def blocked_tag_apply(ctx, it, inputs, init, per_type_fn, block=2048):
     """Apply `per_type_fn(surf_cls, type_index, it_blk, inputs_blk)` over
-    lanes grouped by surface tag. Returns a pytree shaped like `init`
-    (per-lane results in original lane order).
+    fixed lane blocks, dispatching each block to the single surface type it
+    contains (blocked coherent dispatch — see the design note above).
+    Returns a pytree shaped like `init` (per-lane results, original order).
 
-    inputs: pytree of per-lane arrays riding the sort with `it`.
+    inputs: pytree of per-lane arrays cut into blocks alongside `it`.
     init: pytree template for dead lanes AND the mixed-block fallback's
     accumulator (same role as dispatch()'s init).
     """
@@ -273,17 +254,15 @@ def sorted_tag_apply(ctx, it, inputs, init, per_type_fn, block=8192):
     tag = jnp.where(it.valid, meta["tag"], _DEAD_TAG).astype(jnp.int32)
     index = meta["idx"]
 
-    in_cols, in_meta = _tree_cols((it, index, inputs))
-    iota = jnp.arange(n, dtype=jnp.int32)
     pad = (-n) % block
     if pad:
+        pad_tree = lambda x: jnp.pad(
+            x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        )
         tag = jnp.pad(tag, (0, pad), constant_values=_DEAD_TAG)
-        iota = jnp.pad(iota, (0, pad), constant_values=n)
-        in_cols = [jnp.pad(c, (0, pad)) for c in in_cols]
-    sorted_all = jax.lax.sort((tag, iota, *in_cols), num_keys=1)
-    s_tag, s_iota = sorted_all[0], sorted_all[1]
-    s_it, s_index, s_inputs = _tree_uncols(list(sorted_all[2:]), in_meta)
-
+        index = jnp.pad(index, (0, pad))
+        it = jax.tree_util.tree_map(pad_tree, it)
+        inputs = jax.tree_util.tree_map(pad_tree, inputs)
     nb = (n + pad) // block
 
     def reshape_blk(tree):
@@ -291,10 +270,12 @@ def sorted_tag_apply(ctx, it, inputs, init, per_type_fn, block=8192):
             lambda x: x.reshape((nb, block) + x.shape[1:]), tree
         )
 
-    b_tag = s_tag.reshape(nb, block)
-    b_it, b_index, b_inputs = (
-        reshape_blk(s_it), s_index.reshape(nb, block), reshape_blk(s_inputs)
-    )
+    b_tag = tag.reshape(nb, block)
+    b_it, b_index, b_inputs = reshape_blk(it), reshape_blk(index), reshape_blk(inputs)
+    # per-block purity from one cheap pass over the tags: a block is uniform
+    # iff min == max (dead lanes excluded by mapping them to +inf for min)
+    tag_lo = jnp.min(jnp.where(b_tag == _DEAD_TAG, 0x7FFFFFFF, b_tag), axis=1)
+    tag_hi = jnp.max(jnp.where(b_tag == _DEAD_TAG, -1, b_tag), axis=1)
     # dead lanes get the init VALUES (dispatch() semantics). init must be
     # lane-uniform (zeros / broadcast constants) — true for every call site.
     init_blk = jax.tree_util.tree_map(
@@ -302,13 +283,31 @@ def sorted_tag_apply(ctx, it, inputs, init, per_type_fn, block=8192):
     )
 
     def one_block(args):
-        tag_blk, it_blk, index_blk, inputs_blk = args
-        t_first = tag_blk[0]
-        uniform = (tag_blk[block - 1] == t_first) & (t_first < _DEAD_TAG)
+        lo, hi, tag_blk, it_blk, index_blk, inputs_blk = args
+        has_dead = jnp.any(tag_blk == _DEAD_TAG)
 
         def make_branch(t):
             def branch(_):
-                return per_type_fn(types[t], t, index_blk, it_blk, inputs_blk)
+                out = per_type_fn(types[t], t, index_blk, it_blk, inputs_blk)
+                # uniform-live blocks skip the mask; blocks with a dead tail
+                # (or holes) still need init values on dead lanes
+                live = tag_blk != _DEAD_TAG
+                return jax.lax.cond(
+                    has_dead,
+                    lambda o: jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(
+                            live.reshape(
+                                live.shape + (1,) * (new.ndim - live.ndim)
+                            ),
+                            new,
+                            old,
+                        ),
+                        o,
+                        init_blk,
+                    ),
+                    lambda o: o,
+                    out,
+                )
 
             return branch
 
@@ -337,19 +336,18 @@ def sorted_tag_apply(ctx, it, inputs, init, per_type_fn, block=8192):
         branches.append(mixed_branch)
         branches.append(dead_branch)
         which = jnp.where(
-            t_first >= _DEAD_TAG,
+            hi < 0,  # every lane dead
             len(types) + 1,
-            jnp.where(uniform, t_first, len(types)),
+            jnp.where(lo == hi, lo, len(types)),
         )
         return jax.lax.switch(which, branches, None)
 
-    out_blocks = jax.lax.map(one_block, (b_tag, b_it, b_index, b_inputs))
-    out_sorted = jax.tree_util.tree_map(
+    out_blocks = jax.lax.map(
+        one_block, (tag_lo, tag_hi, b_tag, b_it, b_index, b_inputs)
+    )
+    result = jax.tree_util.tree_map(
         lambda x: x.reshape((nb * block,) + x.shape[2:]), out_blocks
     )
-    out_cols, out_meta = _tree_cols(out_sorted)
-    unsorted = jax.lax.sort((s_iota, *out_cols), num_keys=1)
-    result = _tree_uncols(list(unsorted[1:]), out_meta)
     if pad:
         result = jax.tree_util.tree_map(lambda x: x[:n], result)
     return result
