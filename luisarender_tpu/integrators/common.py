@@ -273,6 +273,12 @@ def bounce_step(
 
     n_rays = carry["n_rays"] + jnp.sum(active.astype(jnp.int32))
     wo = -ray.direction
+    # DEAD-LANE MASK (PERF.md round-3 item 2): terminated lanes keep their
+    # last real ray in the carry, so without this the closest trace pays
+    # full price on every bounce — the cluster tracer sorts t_max<=t_min
+    # lanes to the tail and early-exits whole packets of them (measured
+    # 106 -> 60 ms on the mixed bench's bounce-2 wave at 33% alive).
+    trace_ray = ray._replace(t_max=jnp.where(active, ray.t_max, 0.0))
     # Fused trace: the previous bounce's DEFERRED shadow rays ride in the
     # same batched trace as this bounce's closest rays. MEASURED SLOWER on
     # v5e Cornell (4.3 vs 6.7 Mray/s): the +1 flush iteration and the
@@ -286,9 +292,7 @@ def bounce_step(
             origin=jnp.concatenate([ray.origin, s_ray.origin]),
             direction=jnp.concatenate([ray.direction, s_ray.direction]),
             t_min=jnp.concatenate([ray.t_min, s_ray.t_min]),
-            t_max=jnp.concatenate(
-                [jnp.where(active, ray.t_max, 0.0), s_ray.t_max]
-            ),
+            t_max=jnp.concatenate([trace_ray.t_max, s_ray.t_max]),
         )
         hit_cat = traverse.trace_closest(geom, rays_cat)
         hit = ct.Hit(
@@ -301,7 +305,7 @@ def bounce_step(
         nee_ok = carry["shadow_pending"] & ~occluded_prev
         L = jnp.where(nee_ok[..., None], L + carry["shadow_contrib"], L)
     else:
-        hit = traverse.trace_closest(geom, ray)
+        hit = traverse.trace_closest(geom, trace_ray)
     cone_width = None
     if "cone_width" in carry:
         # ray-cone LOD: the cone widens linearly with distance; surface
