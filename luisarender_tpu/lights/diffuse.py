@@ -20,6 +20,7 @@ from ..textures.base import (
     compile_tex_param,
     evaluate_handles,
     evaluate_param,
+    spectral_param,
 )
 from .base import Light
 
@@ -42,10 +43,10 @@ class DiffuseLight(Light):
 
     @staticmethod
     def _radiance(params, ctx, it_light, swl):
-        rgba = evaluate_param(
-            ctx, params, "emission", it_light, default=(1.0, 1.0, 1.0, 0.0)
+        L = spectral_param(
+            ctx, params, "emission", it_light, swl, "illuminant",
+            default=(1.0, 1.0, 1.0, 0.0),
         )
-        L = ctx.spectrum.decode_illuminant(rgba[..., :3], swl)
         return L * params["scale"][..., None]
 
     @staticmethod

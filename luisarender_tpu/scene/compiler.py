@@ -102,6 +102,48 @@ def _hoist_constants(arrays):
     return out
 
 
+def _hoist_spectral_coeffs(arrays, spectrum):
+    """Pre-fit sigmoid-polynomial spectral coefficients for every hoisted
+    constant-texture value (hero spectrum only).
+
+    The hero RGB->spectrum decode is an 8-gather trilinear LUT fetch per
+    lane (spectra/hero.py _coeffs); doing it per ray per closure call was
+    the dominant cost of the hero general path (PERF.md). Here the fetch
+    runs once per PASS on the per-instance rows (a handful of lanes), and
+    the coefficients ride the packed parameter-row gather like any other
+    column; per-ray decode becomes the pure-VPU sigmoid eval
+    (textures/base.py spectral_param). Gradients still flow:
+    coeffs are a differentiable function of the hoisted constant values.
+    Mirrors /root/reference/src/spectra/hero.cpp's encode-once design
+    (encoded_srgb_to_spectrum caches constant encodings)."""
+
+    def aug_table(table):
+        out = dict(table)
+        for k in list(table):
+            if not k.endswith("__s"):
+                continue
+            name = k[: -len("__s")]
+            rgb = table[k][..., :3]
+            out[name + "__ca"] = spectrum.coeffs_albedo(rgb)
+            cu, su = spectrum.coeffs_unbounded(rgb)
+            out[name + "__cu"] = cu
+            out[name + "__cus"] = su
+            ci, si = spectrum.coeffs_illuminant(rgb)
+            out[name + "__ci"] = ci
+            out[name + "__cis"] = si
+        return out
+
+    out = dict(arrays)
+    for group in ("surfaces", "lights", "media"):
+        if group in out:
+            out[group] = [aug_table(t) for t in out[group]]
+    if "textures" in out:
+        out["textures"] = {
+            k: aug_table(t) for k, t in out["textures"].items()
+        }
+    return out
+
+
 class ShadingContext:
     """Bundles device arrays + static plan + scene-static host objects for
     device-side closures (the analogue of the Pipeline& every reference
@@ -109,6 +151,8 @@ class ShadingContext:
 
     def __init__(self, arrays, plan, spectrum, environment=None):
         self.arrays = _hoist_constants(arrays)
+        if not spectrum.is_fixed and hasattr(spectrum, "coeffs_albedo"):
+            self.arrays = _hoist_spectral_coeffs(self.arrays, spectrum)
         self.plan = plan
         self.spectrum = spectrum
         self.environment = environment

@@ -109,6 +109,36 @@ class HeroWavelengthSpectrum(SpectrumModel):
         c1 = c10 * (1 - yf[..., None]) + c11 * yf[..., None]
         return c0 * (1 - zf[..., None]) + c1 * zf[..., None]
 
+    # --- coefficient fast path (scene/compiler.py _hoist_spectral_coeffs):
+    # constant textures pre-fit their sigmoid coefficients ONCE per pass on
+    # the tiny per-instance tables, so per-ray decode is pure VPU math
+    # instead of 8 LUT gathers per lane (measured dominant in the hero
+    # general path, PERF.md). The reference gets the same effect by folding
+    # constants into pipeline slots (textures/constant.cpp).
+    def coeffs_albedo(self, rgb):
+        return self._coeffs(rgb)
+
+    def coeffs_unbounded(self, rgb):
+        m = jnp.maximum(jnp.max(rgb, axis=-1), 1e-8)
+        scale = jnp.where(m > 1.0, 2.0 * m, 1.0)
+        return self._coeffs(rgb / scale[..., None]), scale
+
+    def coeffs_illuminant(self, rgb):
+        return self.coeffs_unbounded(jnp.maximum(rgb, 0.0))
+
+    def decode_albedo_coeffs(self, coeffs, swl):
+        return rgb2spec.eval_spectrum(coeffs, swl.lam)
+
+    def decode_unbounded_coeffs(self, coeffs, scale, swl):
+        return rgb2spec.eval_spectrum(coeffs, swl.lam) * scale[..., None]
+
+    def decode_illuminant_coeffs(self, coeffs, scale, swl):
+        return (
+            self.decode_unbounded_coeffs(coeffs, scale, swl)
+            * cie.d65(swl.lam)
+            * _ILLUM_NORM
+        )
+
     def decode_albedo(self, rgb, swl):
         coeffs = self._coeffs(rgb)
         return rgb2spec.eval_spectrum(coeffs, swl.lam)

@@ -31,6 +31,7 @@ from ..textures.base import (
     compile_tex_param,
     evaluate_handles,
     evaluate_param,
+    spectral_param,
 )
 from .base import (
     EVENT_ENTER,
@@ -134,7 +135,10 @@ class DisneySurface(Surface):
         color_rgba = evaluate_param(ctx, params, "color", it, default=(0.5, 0.5, 0.5, 0.0)
         )
         c = {
-            "color": ctx.spectrum.decode_albedo(color_rgba[..., :3], swl),
+            "color": spectral_param(
+                ctx, params, "color", it, swl, "albedo",
+                default=(0.5, 0.5, 0.5, 0.0),
+            ),
             "color_lum": jnp.maximum(cie_y_of_srgb(color_rgba[..., :3]), 1e-6),
             "metallic": tex("metallic", 0.0),
             "eta": jnp.maximum(tex("eta", 1.5), 1.001),
@@ -444,8 +448,10 @@ class DisneySurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        rgba = evaluate_param(ctx, params, "color", it, default=(0.5,) * 3 + (0.0,))
-        return ctx.spectrum.decode_albedo(rgba[..., :3], swl)
+        return spectral_param(
+            ctx, params, "color", it, swl, "albedo",
+            default=(0.5, 0.5, 0.5, 0.0),
+        )
 
     @staticmethod
     def roughness(params, ctx, it):

@@ -24,6 +24,7 @@ from ..textures.base import (
     compile_tex_param,
     evaluate_handles,
     evaluate_param,
+    spectral_param,
 )
 from .base import (
     EVENT_ENTER,
@@ -181,8 +182,12 @@ class GlassSurface(Surface):
     def _textures(params, ctx, it, swl):
         kr = evaluate_param(ctx, params, "kr", it, default=(1.0,) * 3 + (0.0,))
         kt = evaluate_param(ctx, params, "kt", it, default=(1.0,) * 3 + (0.0,))
-        kr_s = ctx.spectrum.decode_albedo(kr[..., :3], swl)
-        kt_s = ctx.spectrum.decode_albedo(kt[..., :3], swl)
+        kr_s = spectral_param(
+            ctx, params, "kr", it, swl, "albedo", default=(1.0,) * 3 + (0.0,)
+        )
+        kt_s = spectral_param(
+            ctx, params, "kt", it, swl, "albedo", default=(1.0,) * 3 + (0.0,)
+        )
         from ..core.colorspace import cie_y_of_srgb
 
         kr_lum = cie_y_of_srgb(kr[..., :3])
@@ -305,8 +310,9 @@ class GlassSurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        kr = evaluate_param(ctx, params, "kr", it, default=(1.0,) * 3 + (0.0,))
-        return ctx.spectrum.decode_albedo(kr[..., :3], swl)
+        return spectral_param(
+            ctx, params, "kr", it, swl, "albedo", default=(1.0,) * 3 + (0.0,)
+        )
 
     @staticmethod
     def roughness(params, ctx, it):

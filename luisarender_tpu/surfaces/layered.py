@@ -45,6 +45,7 @@ from ..textures.base import (
     compile_tex_param,
     evaluate_handles,
     evaluate_param,
+    spectral_param,
 )
 from .base import EVENT_REFLECT, PROPERTY_REFLECTIVE, Surface
 from .mirror import _resolve_alpha
@@ -102,9 +103,10 @@ def _monomorphized(inner_cls, walk_k: int = 0):
             )
             thick = evaluate_param(ctx, params, "thickness", it, default=(1.0,) * 4
             )[..., 0]
-            sigma = ctx.spectrum.decode_unbounded(sig[..., :3], swl) * thick[
-                ..., None
-            ]
+            sigma = spectral_param(
+                ctx, params, "sigma_a", it, swl, "unbounded",
+                default=(0.0,) * 4,
+            ) * thick[..., None]
             a = jnp.exp(
                 -(1.0 / jnp.maximum(cos_i, 1e-4) + 1.0 / jnp.maximum(cos_o, 1e-4))[
                     ..., None
@@ -143,9 +145,10 @@ def _monomorphized(inner_cls, walk_k: int = 0):
             thick = evaluate_param(
                 ctx, params, "thickness", it, default=(1.0,) * 4
             )[..., 0]
-            return ctx.spectrum.decode_unbounded(sig[..., :3], swl) * thick[
-                ..., None
-            ]
+            return spectral_param(
+                ctx, params, "sigma_a", it, swl, "unbounded",
+                default=(0.0,) * 4,
+            ) * thick[..., None]
 
         @staticmethod
         def _walk_inner(params, ctx, it, swl, frame, wo_l, wi_l, eta, inner_p):

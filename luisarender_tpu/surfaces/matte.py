@@ -18,6 +18,7 @@ from ..textures.base import (
     compile_tex_param,
     evaluate_handles,
     evaluate_param,
+    spectral_param,
 )
 from .base import (
     EVENT_REFLECT,
@@ -56,8 +57,9 @@ class MatteSurface(Surface):
     @staticmethod
     def _f_pdf(params, ctx, it, swl, wo_local, wi_local):
         """Local-frame Oren-Nayar f (with |cos wi|) and cosine pdf."""
-        kd_rgba = evaluate_param(ctx, params, "kd", it, default=(1.0, 1.0, 1.0, 0.0))
-        albedo = ctx.spectrum.decode_albedo(kd_rgba[..., :3], swl)
+        albedo = spectral_param(
+            ctx, params, "kd", it, swl, "albedo", default=(1.0, 1.0, 1.0, 0.0)
+        )
         sigma = evaluate_param(ctx, params, "sigma", it, default=(0.0,) * 4)[..., 0]
         a, b = MatteSurface._oren_nayar_ab(sigma)
 
@@ -112,8 +114,9 @@ class MatteSurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        kd_rgba = evaluate_param(ctx, params, "kd", it, default=(1.0, 1.0, 1.0, 0.0))
-        return ctx.spectrum.decode_albedo(kd_rgba[..., :3], swl)
+        return spectral_param(
+            ctx, params, "kd", it, swl, "albedo", default=(1.0, 1.0, 1.0, 0.0)
+        )
 
     @staticmethod
     def roughness(params, ctx, it):

@@ -25,6 +25,7 @@ from ..textures.base import (
     compile_tex_param,
     evaluate_handles,
     evaluate_param,
+    spectral_param,
 )
 from .base import (
     EVENT_REFLECT,
@@ -206,8 +207,9 @@ class MetalSurface(Surface):
         d = mf.ggx_d(wh, alpha)
         g = mf.ggx_g(wo_l, wi_l, alpha)
         fres = MetalSurface._fresnel(params, ctx, swl, fr.dot(wi_l, wh))
-        kd = evaluate_param(ctx, params, "kd", it, default=(1.0,) * 3 + (0.0,))
-        tint = ctx.spectrum.decode_albedo(kd[..., :3], swl)
+        tint = spectral_param(
+            ctx, params, "kd", it, swl, "albedo", default=(1.0,) * 3 + (0.0,)
+        )
         f = tint * fres * (d * g / jnp.maximum(4.0 * cos_o, 1e-8))[..., None]
         pdf = mf.ggx_pdf(wo_l, wh, alpha) / jnp.maximum(
             4.0 * jnp.abs(fr.dot(wo_l, wh)), 1e-8

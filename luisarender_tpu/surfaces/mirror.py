@@ -20,6 +20,7 @@ from ..textures.base import (
     compile_tex_param,
     evaluate_handles,
     evaluate_param,
+    spectral_param,
 )
 from .base import (
     EVENT_REFLECT,
@@ -62,8 +63,9 @@ class MirrorSurface(Surface):
 
     @staticmethod
     def _eval_local(params, ctx, it, swl, wo_l, wi_l):
-        kd = evaluate_param(ctx, params, "kd", it, default=(1.0, 1.0, 1.0, 0.0))
-        f0 = ctx.spectrum.decode_albedo(kd[..., :3], swl)
+        f0 = spectral_param(
+            ctx, params, "kd", it, swl, "albedo", default=(1.0, 1.0, 1.0, 0.0)
+        )
         alpha = _resolve_alpha(params, ctx, it)
         wh = fr.normalize(wo_l + wi_l)
         same = fr.same_hemisphere(wo_l, wi_l)
@@ -109,8 +111,9 @@ class MirrorSurface(Surface):
 
     @staticmethod
     def albedo(params, ctx, it, swl):
-        kd = evaluate_param(ctx, params, "kd", it, default=(1.0, 1.0, 1.0, 0.0))
-        return ctx.spectrum.decode_albedo(kd[..., :3], swl)
+        return spectral_param(
+            ctx, params, "kd", it, swl, "albedo", default=(1.0, 1.0, 1.0, 0.0)
+        )
 
     @staticmethod
     def roughness(params, ctx, it):

@@ -24,6 +24,7 @@ from ..textures.base import (
     compile_tex_param,
     evaluate_handles,
     evaluate_param,
+    spectral_param,
 )
 from .base import (
     EVENT_REFLECT,
@@ -69,14 +70,18 @@ class PlasticSurface(Surface):
     @staticmethod
     def _ctx(params, ctx, it, swl):
         kd_rgba = evaluate_param(ctx, params, "kd", it, default=(0.5,) * 3 + (0.0,))
-        kd = ctx.spectrum.decode_albedo(kd_rgba[..., :3], swl)
+        kd = spectral_param(
+            ctx, params, "kd", it, swl, "albedo", default=(0.5,) * 3 + (0.0,)
+        )
         kd_lum = cie_y_of_srgb(kd_rgba[..., :3])
         eta = evaluate_param(ctx, params, "eta", it, default=(1.5,) * 4)[..., 0]
         sig = evaluate_param(ctx, params, "sigma_a", it, default=(0.0,) * 4)
         thick = evaluate_param(ctx, params, "thickness", it, default=(1.0,) * 4)[
             ..., 0
         ]
-        sigma = ctx.spectrum.decode_unbounded(sig[..., :3], swl) * thick[..., None]
+        sigma = spectral_param(
+            ctx, params, "sigma_a", it, swl, "unbounded", default=(0.0,) * 4
+        ) * thick[..., None]
         alpha = _resolve_alpha(params, ctx, it)
         return kd, kd_lum, eta, sigma, alpha
 

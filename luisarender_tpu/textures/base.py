@@ -138,3 +138,55 @@ def evaluate_handles(ctx, handles, it, default=(0.0, 0.0, 0.0, 0.0), depth=0):
         mask = (handles >= 0) & (type_tag == type_id)
         result = jnp.where(mask[..., None], value, result)
     return result
+
+
+def spectral_param(
+    ctx, params, name, it, swl, kind="albedo", default=(0.0, 0.0, 0.0, 0.0)
+):
+    """Texture parameter -> sampled spectrum (..., C).
+
+    kind: "albedo" | "unbounded" | "illuminant" — which spectrum decoder
+    applies (texture.h:52-59 semantic decoders). Under the hero spectrum,
+    lanes whose value was hoisted from a constant texture use the
+    per-instance pre-fit sigmoid coefficients (scene/compiler.py
+    _hoist_spectral_coeffs) — pure VPU math instead of per-ray LUT gathers;
+    dynamic-texture lanes fall back to the full evaluate + LUT decode.
+    Fixed-spectrum (sRGB) mode is the plain evaluate + decode."""
+    import jax.numpy as jnp
+
+    spec = ctx.spectrum
+    ck = {"albedo": "__ca", "unbounded": "__cu", "illuminant": "__ci"}[kind]
+    if spec.is_fixed or (name + ck) not in params:
+        rgba = evaluate_param(ctx, params, name, it, default=default)
+        return getattr(spec, "decode_" + kind)(rgba[..., :3], swl)
+
+    folded = params[name + "__f"] > 0.5
+    d3 = jnp.asarray(default[:3], jnp.float32)
+    if kind == "albedo":
+        dflt = spec.coeffs_albedo(d3)
+        coeffs = jnp.where(folded[..., None], params[name + ck], dflt)
+        out = spec.decode_albedo_coeffs(coeffs, swl)
+    else:
+        fit = spec.coeffs_unbounded if kind == "unbounded" else (
+            spec.coeffs_illuminant
+        )
+        dc, ds = fit(d3)
+        coeffs = jnp.where(folded[..., None], params[name + ck], dc)
+        scale = jnp.where(folded, params[name + ck + "s"], ds)
+        dec = (
+            spec.decode_unbounded_coeffs
+            if kind == "unbounded"
+            else spec.decode_illuminant_coeffs
+        )
+        out = dec(coeffs, scale, swl)
+
+    handles = params.get(name)
+    if handles is None:
+        return out
+    dyn_rgba = evaluate_handles(
+        ctx, jnp.where(folded, jnp.int32(NULL_HANDLE), handles), it,
+        default=default,
+    )
+    out_dyn = getattr(spec, "decode_" + kind)(dyn_rgba[..., :3], swl)
+    use_dyn = (~folded) & (handles >= 0)
+    return jnp.where(use_dyn[..., None], out_dyn, out)
