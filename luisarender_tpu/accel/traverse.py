@@ -59,6 +59,10 @@ class TraceGeometry(NamedTuple):
     # the scene is small enough for brute force / not compiled for TPU
     cluster_nodes: jnp.ndarray | None = None  # (N', 8) f32
     cluster_tris: jnp.ndarray | None = None  # (C, 16, 128) f32
+    # analytic-sphere table (scene/compiler.py): 0:3 center, 3 radius,
+    # 4:13 rotation (row-major), 13 instance id, 14 opaque; sphere hits
+    # return prim = P + sphere_index (P = padded tri-slot count)
+    sph: jnp.ndarray | None = None  # (S, 16) f32
 
 
 def intersect_tri(o, d, v0, e1, e2):
@@ -317,11 +321,106 @@ def _use_cluster(geom) -> bool:
     )
 
 
+def _sphere_closest(sph, rays, t_min, t_max):
+    """Closest analytic-sphere hit. Returns (t, idx, u, v): t=inf on miss.
+
+    Exact quadric test per sphere (S is small — unrolled python loop, pure
+    dense VPU math). uv matches the icosphere mesh parameterization
+    (shapes/impls.py): v = acos(lz)/pi, u = atan2(ly, lx)/2pi mod 1, in the
+    sphere's LOCAL (rotated) frame."""
+    o, d = rays.origin, rays.direction
+    best_t = jnp.full(o.shape[:-1], jnp.inf, jnp.float32)
+    best_i = jnp.full(o.shape[:-1], -1, jnp.int32)
+    for s in range(sph.shape[0]):
+        c = sph[s, 0:3]
+        r = sph[s, 3]
+        oc = o - c
+        b = jnp.sum(oc * d, axis=-1)
+        c2 = jnp.sum(oc * oc, axis=-1) - r * r
+        disc = b * b - c2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where((t0 > t_min) & (t0 < t_max), t0, t1)
+        ok = (disc > 0.0) & (t > t_min) & (t < t_max) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_i = jnp.where(ok, s, best_i)
+    # uv of the winner only
+    srow = sph[jnp.maximum(best_i, 0)]
+    c = srow[..., 0:3]
+    r = jnp.maximum(srow[..., 3], 1e-20)
+    p = o + best_t[..., None] * d
+    n = (p - c) / r[..., None]
+    rot = srow[..., 4:13]
+    lx = n[..., 0] * rot[..., 0] + n[..., 1] * rot[..., 3] + n[..., 2] * rot[..., 6]
+    ly = n[..., 0] * rot[..., 1] + n[..., 1] * rot[..., 4] + n[..., 2] * rot[..., 7]
+    lz = n[..., 0] * rot[..., 2] + n[..., 1] * rot[..., 5] + n[..., 2] * rot[..., 8]
+    v = jnp.arccos(jnp.clip(lz, -1.0, 1.0)) * jnp.float32(1.0 / np.pi)
+    u = jnp.arctan2(ly, lx) * jnp.float32(0.5 / np.pi)
+    u = jnp.where(u < 0.0, u + 1.0, u)
+    found = best_i >= 0
+    return (
+        jnp.where(found, best_t, jnp.inf),
+        best_i,
+        jnp.where(found, u, 0.0),
+        jnp.where(found, v, 0.0),
+    )
+
+
+def _sphere_any(sph, rays):
+    """Occlusion by any opaque analytic sphere within (t_min, t_max)."""
+    o, d = rays.origin, rays.direction
+    occ = jnp.zeros(o.shape[:-1], bool)
+    for s in range(sph.shape[0]):
+        c = sph[s, 0:3]
+        r = sph[s, 3]
+        oc = o - c
+        b = jnp.sum(oc * d, axis=-1)
+        c2 = jnp.sum(oc * oc, axis=-1) - r * r
+        disc = b * b - c2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        hit0 = (t0 > rays.t_min) & (t0 < rays.t_max)
+        hit1 = (t1 > rays.t_min) & (t1 < rays.t_max)
+        occ |= (disc > 0.0) & (hit0 | hit1) & (sph[s, 14] > 0.0)
+    return occ
+
+
+def _merge_sphere_closest(geom, rays, tri_trace):
+    """Sphere-first closest trace: quadric hits clip t_max before the
+    triangle trace (pruning the tree walk), then the nearer of the two
+    wins. Sphere hits use prim = P + sphere_index."""
+    t_s, i_s, u_s, v_s = _sphere_closest(geom.sph, rays, rays.t_min, rays.t_max)
+    clipped = rays._replace(t_max=jnp.minimum(rays.t_max, t_s))
+    hit = tri_trace(clipped)
+    p_tris = geom.tri_v0.shape[0]
+    sph_wins = (i_s >= 0) & ~(hit.prim >= 0)
+    return Hit(
+        inst=jnp.where(sph_wins, jnp.int32(0), hit.inst),
+        prim=jnp.where(sph_wins, p_tris + i_s, hit.prim),
+        bary=jnp.where(
+            sph_wins[..., None],
+            jnp.stack([u_s, v_s], axis=-1),
+            hit.bary,
+        ),
+        t=jnp.where(sph_wins, t_s, hit.t),
+    )
+
+
 def trace_closest(geom, rays) -> Hit:
     from . import twolevel
 
     if isinstance(geom, twolevel.TraceGeometry2L):
         return twolevel.trace_closest_2l(geom, rays)
+    if getattr(geom, "sph", None) is not None:
+        return _merge_sphere_closest(
+            geom, rays, lambda r: _trace_closest_tris(geom, r)
+        )
+    return _trace_closest_tris(geom, rays)
+
+
+def _trace_closest_tris(geom, rays) -> Hit:
     if geom.num_tris <= BRUTE_FORCE_MAX_TRIS:
         if _use_pallas_brute(geom):
             from ..ops import brute_pallas
@@ -343,6 +442,17 @@ def trace_any(geom, rays):
 
     if isinstance(geom, twolevel.TraceGeometry2L):
         return twolevel.trace_any_2l(geom, rays)
+    if getattr(geom, "sph", None) is not None:
+        occ_s = _sphere_any(geom.sph, rays)
+        # occluded lanes skip the triangle walk (t_max collapses to 0)
+        clipped = rays._replace(
+            t_max=jnp.where(occ_s, 0.0, rays.t_max)
+        )
+        return occ_s | _trace_any_tris(geom, clipped)
+    return _trace_any_tris(geom, rays)
+
+
+def _trace_any_tris(geom, rays):
     if geom.num_tris <= BRUTE_FORCE_MAX_TRIS:
         if _use_pallas_brute(geom):
             from ..ops import brute_pallas

@@ -24,6 +24,7 @@ ST_METAL = 2
 ST_PLASTIC = 3
 ST_GLASS = 4
 ST_NULL = 5
+ST_DISNEY = 6
 
 EVENT_REFLECT = 0
 EVENT_ENTER = 1
@@ -373,3 +374,99 @@ def refract_c(wix, wiy, wiz, nx, ny, nz, eta):
         eta * -wiy + coef * ny,
         eta * -wiz + coef * nz,
     )
+
+
+# ---------------------------------------------------------------------------
+# Disney principled BSDF (surfaces/disney.py, reflective lobe set).
+# Fold restrictions (ops/fused_path.py): thin = 0, specular_trans = 0,
+# diffuse_trans = 0 — the diffuse+retro+sheen / specular / clearcoat mixture.
+# ic fields: c0 = color, c1 = sheen * csheen, c2 = cspec0, c3 = ctint_mix
+# (= (1-spec_tint) + spec_tint*tint), p0 = eta, p1 = roughness, ax/ay,
+# d0 = metallic, d1 = alpha_cc, d2 = clearcoat, d3/d4/d5 = normalized lobe
+# weights w_diff / w_spec / w_cc (host-precomputed, disney.cpp:542-556).
+# ---------------------------------------------------------------------------
+
+
+def _schlick_w(cos_t):
+    m = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    return (m * m) * (m * m) * m
+
+
+def gtr1(cos_h, alpha):
+    a2 = alpha * alpha
+    denom = _PI * jnp.log(jnp.maximum(a2, 1e-8)) * (
+        1.0 + (a2 - 1.0) * cos_h * cos_h
+    )
+    return (a2 - 1.0) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+
+
+def _smith_g_sep_z(wz, alpha):
+    c2 = wz * wz
+    t2 = jnp.maximum(1.0 - c2, 0.0) / jnp.maximum(c2, 1e-9)
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + alpha * alpha * t2))
+
+
+def eval_disney(ic, wol, wil):
+    wol_x, wol_y, wol_z = wol
+    wil_x, wil_y, wil_z = wil
+    ax, ay = ic["ax"], ic["ay"]
+    met = ic["d0"]
+    rough = ic["p1"]
+    eta = ic["p0"]
+    same = wol_z * wil_z > 0.0
+    cos_o = jnp.abs(wol_z)
+    cos_i = jnp.abs(wil_z)
+    hx, hy, hz = _normalize3(wol_x + wil_x, wol_y + wil_y, wol_z + wil_z)
+    neg_h = hz < 0.0
+    hx = jnp.where(neg_h, -hx, hx)
+    hy = jnp.where(neg_h, -hy, hy)
+    hz = jnp.where(neg_h, -hz, hz)
+    cos_d = wil_x * hx + wil_y * hy + wil_z * hz
+
+    fo = _schlick_w(cos_o)
+    fi = _schlick_w(cos_i)
+    # diffuse + retro (disney.cpp:392-415)
+    f_diffuse_s = (1.0 - 0.5 * fo) * (1.0 - 0.5 * fi)
+    rr = 2.0 * rough * cos_d * cos_d
+    f_retro_s = rr * (fo + fi + fo * fi * (rr - 1.0))
+    dw = 1.0 - met  # diffuse_weight with spec_trans = 0
+    diff_s = INV_PI * (f_diffuse_s + f_retro_s) * dw
+    sheen_s = _schlick_w(jnp.abs(cos_d)) * dw
+
+    # specular (GGX, disney fresnel mix)
+    d = ggx_d(hx, hy, hz, ax, ay)
+    g = ggx_g(wol_x, wol_y, wol_z, wil_x, wil_y, wil_z, ax, ay)
+    f_diel = fres_dielectric(cos_d, eta)
+    spec_s = d * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6)
+
+    # clearcoat (GTR1, fixed .25 smith alpha)
+    a_cc = ic["d1"]
+    d_cc = gtr1(jnp.abs(hz), a_cc)
+    f_cc_s = 0.04 + 0.96 * _schlick_w(cos_d)
+    g_cc = _smith_g_sep_z(wol_z, 0.25) * _smith_g_sep_z(wil_z, 0.25)
+    cc = ic["d2"] * 0.25 * d_cc * f_cc_s * g_cc / jnp.maximum(
+        4.0 * cos_o * cos_i, 1e-6
+    )
+
+    valid_r = same & (cos_i > 1e-6) & (cos_o > 1e-6)
+
+    def chan(color, sheen_c, cspec0, tint_mix):
+        fres = (1.0 - met) * f_diel * tint_mix + met * fres_schlick_1(
+            cos_d, cspec0
+        )
+        f = color * diff_s + sheen_c * sheen_s + fres * spec_s + cc
+        return jnp.where(valid_r, f * cos_i, 0.0)
+
+    f_r = chan(ic["c0r"], ic["c1r"], ic["c2r"], ic["c3r"])
+    f_g = chan(ic["c0g"], ic["c1g"], ic["c2g"], ic["c3g"])
+    f_b = chan(ic["c0b"], ic["c1b"], ic["c2b"], ic["c3b"])
+
+    dot_oh = wol_x * hx + wol_y * hy + wol_z * hz
+    pdf_diff = cos_i * INV_PI
+    pdf_spec = ggx_pdf(wol_x, wol_y, wol_z, hx, hy, hz, ax, ay) / jnp.maximum(
+        4.0 * jnp.abs(dot_oh), 1e-6
+    )
+    pdf_cc = d_cc * jnp.abs(hz) / jnp.maximum(4.0 * jnp.abs(dot_oh), 1e-6)
+    pdf = ic["d3"] * pdf_diff + ic["d4"] * pdf_spec + ic["d5"] * pdf_cc
+    pdf = jnp.where(same & (cos_o > 1e-6), pdf, 0.0)
+    return f_r, f_g, f_b, pdf

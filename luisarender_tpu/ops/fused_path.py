@@ -67,13 +67,18 @@ _F32_BIG = 3e38  # plain Python float: jnp constants at module scope would be
 #   17    surface two_sided      18 has_surface     19 has_light
 #   20:23 emission (illuminant * scale)
 #   23    light two_sided        24 light total_area
-INST_COLS = 28
+#   disney (ST_DISNEY; c0 = color, c1 = sheen*csheen, c2 = cspec0,
+#   c3 = ctint_mix, p0 = eta, p1 = roughness, alpha in 15:17):
+#   25    metallic   26 alpha_cc   27 clearcoat
+#   28:31 normalized lobe weights w_diff / w_spec / w_cc
+INST_COLS = 32
 # entry_table columns (one row per light-list entry):
 #   0 alias_offset  1 tri_count  2 total_area  3 instance id
 #   4:7 emission    7 two_sided
 ENTRY_COLS = 8
 
-_FUSED_SURFACES = ("matte", "mirror", "metal", "plastic", "glass")
+_FUSED_SURFACES = ("matte", "mirror", "metal", "plastic", "glass", "disney")
+MAX_SPHERES = 16
 _SRGB_PEAKS = (602.785, 539.285, 445.772)
 
 
@@ -188,6 +193,70 @@ def _fold_surface(tt, tr, cls, row, out):
         kt_lum = _cie_y(kt[:3])
         out[14] = 0.0 if kr_lum <= 0.0 else kr_lum / max(kr_lum + kt_lum, 1e-8)
         return True
+    if name == "disney":
+        # reflective subset only: thin / specular_trans / diffuse_trans
+        # eject the scene to the general path (surfaces/disney.py full set)
+        if float(row.get("thin", 0.0)) > 0.5:
+            return False
+
+        def scalar(pname, default):
+            v = _const_value(tt, tr, row[pname], (default,) * 4)
+            return None if v is None else float(v[0])
+
+        color = _const_value(tt, tr, row["color"], (0.5, 0.5, 0.5, 0.0))
+        metallic = scalar("metallic", 0.0)
+        eta = scalar("eta", 1.5)
+        roughness = scalar("roughness", 0.5)
+        spec_tint = scalar("specular_tint", 0.0)
+        aniso = scalar("anisotropic", 0.0)
+        sheen = scalar("sheen", 0.0)
+        sheen_tint = scalar("sheen_tint", 0.0)
+        clearcoat = scalar("clearcoat", 0.0)
+        cc_gloss = scalar("clearcoat_gloss", 1.0)
+        spec_trans = scalar("specular_trans", 0.0)
+        diff_trans = scalar("diffuse_trans", 0.0)
+        vals = (color, metallic, eta, roughness, spec_tint, aniso, sheen,
+                sheen_tint, clearcoat, cc_gloss, spec_trans, diff_trans)
+        if any(v is None for v in vals):
+            return False
+        if spec_trans > 0.0 or diff_trans > 0.0:
+            return False
+        color = np.clip(color[:3], 0.0, 1.0)
+        eta = max(eta, 1.001)
+        roughness = float(np.clip(roughness, 0.0, 1.0))
+        lum = max(_cie_y(color), 1e-6)
+        tint = color / lum
+        csheen = (1.0 - sheen_tint) + sheen_tint * tint
+        f0 = ((eta - 1.0) / (eta + 1.0)) ** 2
+        cspec0 = (1.0 - metallic) * f0 * (
+            (1.0 - spec_tint) + spec_tint * tint
+        ) + metallic * color
+        ctint_mix = (1.0 - spec_tint) + spec_tint * tint
+        aspect = float(np.sqrt(max(1.0 - 0.9 * aniso, 1e-4)))
+        rr_ = roughness * roughness if float(
+            row.get("remap_roughness", 1.0)
+        ) > 0.5 else roughness
+        out[0] = fb.ST_DISNEY
+        out[1:4] = color
+        out[4:7] = sheen * csheen
+        out[7:10] = cspec0
+        out[10:13] = ctint_mix
+        out[13] = eta
+        out[14] = roughness
+        out[15] = max(rr_ / aspect, 1e-4)
+        out[16] = max(rr_ * aspect, 1e-4)
+        out[25] = metallic
+        out[26] = (1.0 - cc_gloss) * 0.1 + cc_gloss * 0.001
+        out[27] = clearcoat
+        # normalized lobe sampling weights (disney.cpp:542-556)
+        w_diff = (1.0 - metallic) * lum
+        w_spec = max(_cie_y(np.clip(cspec0, 0.0, None)), 0.1)
+        w_cc = 0.25 * clearcoat
+        total = max(w_diff + w_spec + w_cc, 1e-6)
+        out[28] = w_diff / total
+        out[29] = w_spec / total
+        out[30] = w_cc / total
+        return True
     return False
 
 
@@ -206,12 +275,13 @@ def build_fused_pack(
     has_environment,
     has_media,
     two_level,
+    n_spheres=0,
 ):
     """Returns {"inst_table": (NI,28), "entry_table": (NL,8)} numpy arrays if
     the scene qualifies for the fused path, else None."""
     if two_level or has_environment or has_media or not all_opaque:
         return None
-    if num_tris_padded > MAX_TRIS:
+    if num_tris_padded > MAX_TRIS or n_spheres > MAX_SPHERES:
         return None
     if type(spectrum).__name__ != "SRGBSpectrum":
         return None
@@ -468,6 +538,8 @@ def _dispatch_eval(stypes, ic, stype_f, wol, wil):
             return fb.eval_plastic(ic, wol, wil)
         if t == fb.ST_GLASS:
             return fb.eval_glass(ic, wol, wil)
+        if t == fb.ST_DISNEY:
+            return fb.eval_disney(ic, wol, wil)
         raise AssertionError(t)
 
     if len(stypes) == 1:
@@ -568,6 +640,55 @@ def _dispatch_sample_wi(stypes, ic, stype_f, wol, u_lobe, u0, u1):
             # i1 selects crash Mosaic; express the bool select logically
             valid = pick_refl | ok_t
             return (wx, wy, wz), event, eta, valid
+        if t == fb.ST_DISNEY:
+            # lobe CDF over normalized (w_diff, w_spec, w_cc)
+            # (surfaces/disney.py sample; transmission folds require 0)
+            w_diff = ic["d3"]
+            w_spec = ic["d4"]
+            pick_diff = u_lobe < w_diff
+            pick_spec = (~pick_diff) & (u_lobe < w_diff + w_spec)
+            sign = jnp.where(wol_z < 0.0, -1.0, 1.0)
+            # diffuse: cosine hemisphere on wo's side
+            ddx, ddy = _concentric_disk(u0, u1)
+            dz_l = jnp.sqrt(jnp.maximum(0.0, 1.0 - ddx * ddx - ddy * ddy))
+            # specular: GGX VNDF reflect about wh flipped to wo's side
+            hx, hy, hz = fb.ggx_sample_wh(
+                wol_x, wol_y, wol_z, u0, u1, ic["ax"], ic["ay"]
+            )
+            neg_o = wol_z < 0.0
+            shx = jnp.where(neg_o, -hx, hx)
+            shy = jnp.where(neg_o, -hy, hy)
+            shz = jnp.where(neg_o, -hz, hz)
+            d_s = wol_x * shx + wol_y * shy + wol_z * shz
+            sx_ = 2.0 * d_s * shx - wol_x
+            sy_ = 2.0 * d_s * shy - wol_y
+            sz_ = 2.0 * d_s * shz - wol_z
+            # clearcoat: GTR1 wh sampling
+            a_cc = ic["d1"]
+            a2 = a_cc * a_cc
+            cos_h = jnp.sqrt(
+                jnp.maximum(
+                    (1.0 - jnp.power(jnp.maximum(a2, 1e-12), 1.0 - u0))
+                    / jnp.maximum(1.0 - a2, 1e-6),
+                    0.0,
+                )
+            )
+            sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+            phi = jnp.float32(2.0 * np.pi) * u1
+            chx = sin_h * jnp.cos(phi)
+            chy = sin_h * jnp.sin(phi)
+            chz = cos_h * sign
+            d_c = wol_x * chx + wol_y * chy + wol_z * chz
+            cx_ = 2.0 * d_c * chx - wol_x
+            cy_ = 2.0 * d_c * chy - wol_y
+            cz_ = 2.0 * d_c * chz - wol_z
+            wx = jnp.where(pick_diff, ddx, jnp.where(pick_spec, sx_, cx_))
+            wy = jnp.where(pick_diff, ddy, jnp.where(pick_spec, sy_, cy_))
+            wz = jnp.where(
+                pick_diff, dz_l * sign, jnp.where(pick_spec, sz_, cz_)
+            )
+            eta = zero + ic["p0"]
+            return (wx, wy, wz), event, eta, valid
         raise AssertionError(t)
 
     if len(stypes) == 1:
@@ -595,10 +716,10 @@ def _glass_present(stypes):
     return fb.ST_GLASS in stypes
 
 
-def _validate_needed(stypes):
-    """Glass skips validate_sides in the unfused closures (transmissive);
-    all other supported types apply it."""
-    return [t for t in stypes if t != fb.ST_GLASS]
+def _no_validate(stypes):
+    """Types whose unfused closures SKIP validate_sides: glass (transmissive)
+    and disney (surfaces/disney.py evaluate has no validate call)."""
+    return [t for t in stypes if t in (fb.ST_GLASS, fb.ST_DISNEY)]
 
 
 def _sin_cos_phi(x, y, sin_theta):
@@ -608,8 +729,8 @@ def _sin_cos_phi(x, y, sin_theta):
 
 def _fused_kernel(
     *refs,
-    tables, stypes, n_tri, n_inst, n_entry, n_light_tri, max_depth, rr_depth,
-    rr_threshold, p_light, unroll, cam=None, persist_spp=0,
+    tables, stypes, n_tri, n_sph, n_inst, n_entry, n_light_tri, max_depth,
+    rr_depth, rr_threshold, p_light, unroll, cam=None, persist_spp=0,
 ):
     if cam is None:
         (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmin_r, tmax_r, beta0_r, st_r,
@@ -622,6 +743,7 @@ def _fused_kernel(
     # instead of a VMEM scalar load + lane broadcast. This is per-scene
     # kernel specialization — exactly the reference's LuisaCompute JIT model.
     tri = tables["tri"]  # (P, 16) np
+    sph = tables["sph"]  # (S, 16) np (analytic spheres; may be empty)
     flat_normals = bool(tables.get("flat_normals", False))
     shade = tables["shade"]  # (P, 40) np
     inst_t = tables["inst"]  # (NI, 16) np
@@ -754,6 +876,35 @@ def _fused_kernel(
             e2z = jnp.where(ok, float(tri[j, 8]), e2z)
             inst_f = jnp.where(ok, float(shade[j, 31]), inst_f)
 
+        # --- analytic spheres (exact quadric; scene/compiler.py table) ----
+        sph_hit = zero > 1.0
+        if n_sph:
+            scx = zero; scy = zero; scz = zero; sr = zero + 1.0
+            for sj in range(n_sph):
+                cx, cy, cz = float(sph[sj, 0]), float(sph[sj, 1]), float(sph[sj, 2])
+                r = float(sph[sj, 3])
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                b = ocx * dx + ocy * dy + ocz * dz
+                c2 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b * b - c2
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = -b - sq
+                t1 = -b + sq
+                t = jnp.where((t0 > tmin) & (t0 < best_t), t0, t1)
+                ok = (disc > 0.0) & (t > tmin) & (t < best_t)
+                best_t = jnp.where(ok, t, best_t)
+                hitv = hitv | ok
+                # a later TRIANGLE can't win (tris already tested); a
+                # later sphere only wins with a strictly smaller t
+                sph_hit = sph_hit | ok
+                scx = jnp.where(ok, cx, scx)
+                scy = jnp.where(ok, cy, scy)
+                scz = jnp.where(ok, cz, scz)
+                sr = jnp.where(ok, r, sr)
+                inst_f = jnp.where(ok, float(sph[sj, 13]), inst_f)
+
         # interaction reconstruction (scene/geometry.py surface_interaction)
         u_b = best_u
         v_b = best_v
@@ -787,6 +938,31 @@ def _fused_kernel(
             nsy = jnp.where(flip_ns, -nsy, nsy)
             nsz = jnp.where(flip_ns, -nsz, nsz)
 
+        if n_sph:
+            # sphere lanes: p = c + r*n (matches surface_interaction's
+            # exact reconstruction), ns = ng = n, tangent = dpdu direction
+            # (R is identity-or-uniform here; non-identity rotations only
+            # rotate the uv seam, irrelevant without textures)
+            n_rx = (ox + best_t * dx - scx) / jnp.maximum(sr, 1e-20)
+            n_ry = (oy + best_t * dy - scy) / jnp.maximum(sr, 1e-20)
+            n_rz = (oz + best_t * dz - scz) / jnp.maximum(sr, 1e-20)
+            n_rx, n_ry, n_rz = _normalize3(n_rx, n_ry, n_rz)
+            sp_x = scx + sr * n_rx
+            sp_y = scy + sr * n_ry
+            sp_z = scz + sr * n_rz
+            px = jnp.where(sph_hit, sp_x, px)
+            py = jnp.where(sph_hit, sp_y, py)
+            pz = jnp.where(sph_hit, sp_z, pz)
+            ngx = jnp.where(sph_hit, n_rx, ngx)
+            ngy = jnp.where(sph_hit, n_ry, ngy)
+            ngz = jnp.where(sph_hit, n_rz, ngz)
+            nsx = jnp.where(sph_hit, n_rx, nsx)
+            nsy = jnp.where(sph_hit, n_ry, nsy)
+            nsz = jnp.where(sph_hit, n_rz, nsz)
+            tgx = jnp.where(sph_hit, -n_ry, tgx)
+            tgy = jnp.where(sph_hit, n_rx, tgy)
+            tgz = jnp.where(sph_hit, 0.0, tgz)
+
         wox = -dx
         woy = -dy
         woz = -dz
@@ -799,8 +975,9 @@ def _fused_kernel(
         (stype_f, s2s, has_surf, has_light, em_r, em_g, em_b, l2s, l_area,
          c0r, c0g, c0b) = _select_row(inst_t, sel_idx, base_cols, n_inst)
         ic = {"c0r": c0r, "c0g": c0g, "c0b": c0b}
-        if fb.ST_MATTE in stypes or fb.ST_PLASTIC in stypes or (
-            fb.ST_GLASS in stypes
+        if any(
+            t in stypes
+            for t in (fb.ST_MATTE, fb.ST_PLASTIC, fb.ST_GLASS, fb.ST_DISNEY)
         ):
             ic["p0"], ic["p1"] = _select_row(inst_t, sel_idx, (13, 14), n_inst)
         if any(t != fb.ST_MATTE for t in stypes):
@@ -813,6 +990,20 @@ def _fused_kernel(
             (ic["c2r"], ic["c2g"], ic["c2b"], ic["c3r"], ic["c3g"],
              ic["c3b"]) = _select_row(
                 inst_t, sel_idx, (7, 8, 9, 10, 11, 12), n_inst
+            )
+        if fb.ST_DISNEY in stypes:
+            if fb.ST_METAL not in stypes:
+                (ic["c2r"], ic["c2g"], ic["c2b"], ic["c3r"], ic["c3g"],
+                 ic["c3b"]) = _select_row(
+                    inst_t, sel_idx, (7, 8, 9, 10, 11, 12), n_inst
+                )
+            if fb.ST_PLASTIC not in stypes and fb.ST_GLASS not in stypes:
+                ic["c1r"], ic["c1g"], ic["c1b"] = _select_row(
+                    inst_t, sel_idx, (4, 5, 6), n_inst
+                )
+            (ic["d0"], ic["d1"], ic["d2"], ic["d3"], ic["d4"],
+             ic["d5"]) = _select_row(
+                inst_t, sel_idx, (25, 26, 27, 28, 29, 30), n_inst
             )
 
         # --- emissive hit (bounce_step "hit an emissive instance") --------
@@ -955,8 +1146,8 @@ def _fused_kernel(
             side_ok = (wo_dot_ng * wi_dot_ng > 0.0) == (
                 wo_dot_ns * wi_dot_ns > 0.0
             )
-            if _glass_present(stypes):
-                side_ok = side_ok | (stype_f == float(fb.ST_GLASS))
+            for t_nv in _no_validate(stypes):
+                side_ok = side_ok | (stype_f == float(t_nv))
             fe_r = jnp.where(side_ok, fe_r, 0.0)
             fe_g = jnp.where(side_ok, fe_g, 0.0)
             fe_b = jnp.where(side_ok, fe_b, 0.0)
@@ -972,6 +1163,23 @@ def _fused_kernel(
                     tri, j, sox, soy, soz, sdx, sdy, sdz
                 )
                 occ |= okq & (tq > 0.0) & (tq < s_tmax)
+            for sj in range(n_sph):
+                if float(sph[sj, 14]) == 0.0:
+                    continue  # shadow-transparent sphere: static skip
+                cx, cy, cz = float(sph[sj, 0]), float(sph[sj, 1]), float(sph[sj, 2])
+                r = float(sph[sj, 3])
+                ocx = sox - cx
+                ocy = soy - cy
+                ocz = soz - cz
+                b = ocx * sdx + ocy * sdy + ocz * sdz
+                c2 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b * b - c2
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = -b - sq
+                t1 = -b + sq
+                occ |= (disc > 0.0) & (
+                    ((t0 > 0.0) & (t0 < s_tmax)) | ((t1 > 0.0) & (t1 < s_tmax))
+                )
             nee_ok = pending & ~occ
             cb_r = beta_r * fe_r * Ln_r * w_mis
             cb_g = beta_g * fe_g * Ln_g * w_mis
@@ -997,8 +1205,8 @@ def _fused_kernel(
         side_ok_s = (wo_dot_ng * wi_dot_ng_s > 0.0) == (
             wo_dot_ns * wi_dot_ns_s > 0.0
         )
-        if _glass_present(stypes):
-            side_ok_s = side_ok_s | (stype_f == float(fb.ST_GLASS))
+        for t_nv in _no_validate(stypes):
+            side_ok_s = side_ok_s | (stype_f == float(t_nv))
         fs_r = jnp.where(side_ok_s, fs_r, 0.0)
         fs_g = jnp.where(side_ok_s, fs_g, 0.0)
         fs_b = jnp.where(side_ok_s, fs_b, 0.0)
@@ -1228,8 +1436,13 @@ def _host_tables(compiled):
         inst_np = np.asarray(compiled.arrays["fused"]["inst_table"])
         has_surf = inst_np[:, 18] > 0.5
         stypes = sorted(set(int(t) for t in inst_np[has_surf, 0]))
+        sph = compiled.arrays["trace"].get("sph")
+        sph_np = (
+            np.asarray(sph) if sph is not None else np.zeros((0, 16), np.float32)
+        )
         cached = {
             "tri": tri,
+            "sph": sph_np,
             "flat_normals": flat,
             "shade": shade_np,
             "inst": inst_np,
@@ -1251,6 +1464,7 @@ def _run_kernel(compiled, arrays, comps, n, nb, in_specs, *, cam,
         tables=tables,
         stypes=tuple(tables["stypes"]),
         n_tri=int(tables["tri"].shape[0]),
+        n_sph=int(tables["sph"].shape[0]),
         n_inst=int(tables["inst"].shape[0]),
         n_entry=int(n_entry),
         n_light_tri=int(tables["light"].shape[0]),

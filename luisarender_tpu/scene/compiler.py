@@ -62,6 +62,7 @@ class ScenePlan:
     two_level: bool = False  # TLAS + shared per-mesh BLAS (accel/twolevel.py)
     fused_path: bool = False  # whole-path Pallas megakernel eligible
     # (ops/fused_path.py; arrays["fused"] holds the packed tables)
+    num_spheres: int = 0  # analytic quadric spheres (accel/traverse.py)
 
 
 def _hoist_constants(arrays):
@@ -215,6 +216,7 @@ class CompiledScene:
             num_tris=self.plan.num_tris,
             cluster_nodes=a.get("cluster_nodes"),
             cluster_tris=a.get("cluster_tris"),
+            sph=a.get("sph"),
         )
 
 
@@ -529,6 +531,38 @@ class SceneCompiler:
             walk(s, np.eye(4), None, None, None, True)
         return out
 
+    @staticmethod
+    def _analytic_sphere(shape, m, surface, light, medium):
+        """(center (3,), radius, rot (3,3)) when this instance can intersect
+        as an exact quadric, else None.
+
+        Conditions: an analytic-enabled SphereShape, non-emissive, no
+        medium (medium boundaries need mesh enter/exit parity), a real
+        surface, and a similarity transform (uniform scale x rotation +
+        translation — the icosphere is the unit sphere at the origin)."""
+        from ..shapes.impls import SphereShape
+
+        if not isinstance(shape, SphereShape) or not shape.analytic:
+            return None
+        if light is not None and not getattr(light, "is_null", False):
+            return None
+        if medium is not None and not getattr(medium, "is_null", False) and not getattr(medium, "is_vacuum", False):
+            return None
+        if surface is None or getattr(surface, "is_null", False):
+            return None
+        a = np.asarray(m, np.float64)[:3, :3]
+        det = np.linalg.det(a)
+        if det <= 0.0:
+            return None
+        s = det ** (1.0 / 3.0)
+        if not np.allclose(a @ a.T, (s * s) * np.eye(3), rtol=1e-5, atol=1e-5 * s * s):
+            return None
+        return (
+            np.asarray(m, np.float64)[:3, 3].astype(np.float32),
+            np.float32(s),
+            (a / s).astype(np.float32),
+        )
+
     def compile(self, time: float = 0.0) -> CompiledScene:
         instances = self._walk_shapes(time)
         if not instances:
@@ -539,16 +573,31 @@ class SceneCompiler:
         # TLAS over shared per-mesh BLASes when instancing would blow up the
         # flattened footprint (the reference's Accel/Mesh split,
         # base/geometry.cpp:16,62-67)
-        unique_meshes: dict = {}
-        flat_tris = 0
-        for shape, *_ in instances:
-            mesh = shape.mesh()
-            unique_meshes.setdefault(id(mesh), mesh)
-            flat_tris += mesh.triangles.shape[0]
+        # analytic-sphere candidates (exact quadric intersection; excluded
+        # from the triangle pipeline entirely)
+        accel_mode = getattr(self.scene, "accel", "auto")
+        analytic = [
+            self._analytic_sphere(shape, m, surface, light, medium)
+            if accel_mode != "twolevel"
+            else None
+            for (shape, m, surface, light, medium, _v) in instances
+        ]
+
+        def count_meshes():
+            unique_meshes: dict = {}
+            flat_tris = 0
+            for (shape, *_), an in zip(instances, analytic):
+                if an is not None:
+                    continue
+                mesh = shape.mesh()
+                unique_meshes.setdefault(id(mesh), mesh)
+                flat_tris += mesh.triangles.shape[0]
+            return unique_meshes, flat_tris
+
+        unique_meshes, flat_tris = count_meshes()
         uniq_tris = sum(
             m.triangles.shape[0] for m in unique_meshes.values()
         )
-        accel_mode = getattr(self.scene, "accel", "auto")
         if accel_mode == "twolevel":
             two_level = True
         elif accel_mode == "flat":
@@ -560,7 +609,12 @@ class SceneCompiler:
             # auto only switches when flattening would truly blow up HBM
             # (tables scale ~150 B/tri: 8M flattened tris ~ 1.2 GB).
             two_level = flat_tris > 4 * uniq_tris and flat_tris > 8_000_000
+        if two_level and any(an is not None for an in analytic):
+            # the two-level path has no sphere branch; fall back to meshes
+            analytic = [None] * len(instances)
+            unique_meshes, flat_tris = count_meshes()
 
+        sphere_rows: list = []  # (inst_id, center, radius, rot)
         all_p, all_n, all_uv, all_t, all_ti = [], [], [], [], []
         inst_rows = {
             "surface_tag": [],
@@ -599,6 +653,37 @@ class SceneCompiler:
         for inst_id, (shape, m, surface, light, medium, visible) in enumerate(
             instances
         ):
+            an = analytic[inst_id]
+            if an is not None:
+                center, radius, rot = an
+                sphere_rows.append((inst_id, center, radius, rot))
+                s_tag, s_idx = self.compile_surface(surface)
+                m_tag, m_idx, m_prio = -1, 0, 0.0
+                inst_rows["surface_tag"].append(s_tag)
+                inst_rows["surface_index"].append(s_idx)
+                inst_rows["light_tag"].append(-1)
+                inst_rows["light_index"].append(0)
+                inst_rows["light_entry"].append(-1)
+                inst_rows["medium_tag"].append(m_tag)
+                inst_rows["medium_index"].append(m_idx)
+                inst_rows["medium_priority"].append(m_prio)
+                two_sided = shape.two_sided or False
+                inst_rows["two_sided"].append(1.0 if two_sided else 0.0)
+                inst_rows["shadow_terminator"].append(
+                    shape.shadow_terminator
+                    if shape.shadow_terminator >= 0
+                    else self.scene.shadow_terminator
+                )
+                inst_rows["intersection_offset"].append(
+                    shape.intersection_offset
+                    if shape.intersection_offset >= 0
+                    else self.scene.intersection_offset
+                )
+                inst_rows["has_normal"].append(1.0)
+                inst_rows["has_uv"].append(1.0)
+                inst_mesh_ids.append(-1)
+                inst_matrices.append(np.asarray(m, np.float64))
+                continue
             mesh = shape.mesh()
             inst_mesh_ids.append(mesh_index[id(mesh)])
             inst_matrices.append(np.asarray(m, np.float64))
@@ -700,12 +785,31 @@ class SceneCompiler:
             v_off += pw.shape[0]
             t_off += tris.shape[0]
 
+        if not all_p:
+            # all-analytic-sphere scene: one far-away degenerate padding
+            # triangle keeps the triangle pipeline's shapes non-empty
+            all_p.append(np.full((3, 3), 1e30, np.float32))
+            all_n.append(np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (3, 1)))
+            all_uv.append(np.zeros((3, 2), np.float32))
+            all_t.append(np.asarray([[0, 1, 2]], np.int32))
+            all_ti.append(np.zeros(1, np.int32))
         vertex_p = np.concatenate(all_p, axis=0)
         vertex_n = np.concatenate(all_n, axis=0)
         vertex_uv = np.concatenate(all_uv, axis=0)
         triangles = np.concatenate(all_t, axis=0)
         tri_inst = np.concatenate(all_ti, axis=0)
         num_tris = triangles.shape[0]
+
+        # analytic-sphere table (accel/traverse.py SPH_COLS layout)
+        sph_table = None
+        if sphere_rows:
+            sph_table = np.zeros((len(sphere_rows), 16), np.float32)
+            for si, (iid, center, radius, rot) in enumerate(sphere_rows):
+                sph_table[si, 0:3] = center
+                sph_table[si, 3] = radius
+                sph_table[si, 4:13] = rot.reshape(-1)
+                sph_table[si, 13] = float(iid)
+                sph_table[si, 14] = 1.0  # opaque (surface required)
 
         # environment (compiled before building arrays so its textures land
         # in the texture tables)
@@ -770,8 +874,19 @@ class SceneCompiler:
                 inst_visible,
             )
 
-        world_min = vertex_p.min(axis=0)
-        world_max = vertex_p.max(axis=0)
+        # world bounds over REAL geometry: exclude the far-away padding
+        # triangle of all-analytic-sphere scenes (its 1e30 coords would
+        # inflate env_distance past f32-squared range and break NEE rays)
+        real_p = vertex_p[np.abs(vertex_p).max(axis=-1) < 1e29]
+        mins = [real_p.min(axis=0)] if real_p.size else []
+        maxs = [real_p.max(axis=0)] if real_p.size else []
+        if sph_table is not None:
+            mins.append((sph_table[:, 0:3] - sph_table[:, 3:4]).min(axis=0))
+            maxs.append((sph_table[:, 0:3] + sph_table[:, 3:4]).max(axis=0))
+        if not mins:
+            mins, maxs = [vertex_p.min(axis=0)], [vertex_p.max(axis=0)]
+        world_min = np.minimum.reduce(mins)
+        world_max = np.maximum.reduce(maxs)
         env_distance = float(np.linalg.norm(world_max - world_min)) * 2.0 + 1.0
 
         def stack_rows(rows_list):
@@ -877,7 +992,9 @@ class SceneCompiler:
         }
         if two_level:
             arrays["trace2"] = trace2
-        elif cluster_tables is not None:
+        elif sph_table is not None:
+            arrays["trace"]["sph"] = jnp.asarray(sph_table)
+        if not two_level and cluster_tables is not None:
             arrays["trace"]["cluster_nodes"] = jnp.asarray(cluster_tables[0])
             arrays["trace"]["cluster_tris"] = jnp.asarray(cluster_tables[1])
         if has_env and hasattr(env, "device_arrays"):
@@ -908,6 +1025,7 @@ class SceneCompiler:
             has_env,
             bool(self._medium_types) or env_medium_ref is not None,
             two_level,
+            n_spheres=len(sphere_rows),
         )
         if fused_pack is not None:
             arrays["fused"] = {
@@ -933,6 +1051,7 @@ class SceneCompiler:
             num_lights=len(light_entries["inst"]),
             num_instances=len(instances),
             num_tris=num_tris,
+            num_spheres=len(sphere_rows),
             num_vertices=vertex_p.shape[0],
             has_environment=has_env,
             env_distance=env_distance,

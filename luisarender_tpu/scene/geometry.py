@@ -263,6 +263,76 @@ def surface_interaction(
     tangent = row[..., 28:31]
     inst = row[..., 31].astype(jnp.int32)
 
+    sph = arrays["trace"].get("sph")
+    if sph is not None:
+        # analytic-sphere hits: prim = P + sphere_index; bary carries the
+        # spherical (u, v) — reconstruct position/normal/tangent exactly
+        # from the quadric (scene/compiler.py sphere table layout)
+        p_tris = arrays["trace"]["shade_table"].shape[0]
+        is_sph = hit.prim >= p_tris
+        srow = fetch_rows(
+            sph, jnp.clip(hit.prim - p_tris, 0, sph.shape[0] - 1)
+        )
+        c = srow[..., 0:3]
+        radius = srow[..., 3]
+        rot = srow[..., 4:13]
+        two_pi = jnp.float32(2.0 * np.pi)
+        phi = u * two_pi
+        theta = v * jnp.float32(np.pi)
+        st = jnp.sin(theta)
+        n_loc = jnp.stack(
+            [jnp.cos(phi) * st, jnp.sin(phi) * st, jnp.cos(theta)], axis=-1
+        )
+        # world normal = R n_loc (rot is row-major R)
+        n_w = jnp.stack(
+            [
+                rot[..., 0] * n_loc[..., 0] + rot[..., 1] * n_loc[..., 1] + rot[..., 2] * n_loc[..., 2],
+                rot[..., 3] * n_loc[..., 0] + rot[..., 4] * n_loc[..., 1] + rot[..., 5] * n_loc[..., 2],
+                rot[..., 6] * n_loc[..., 0] + rot[..., 7] * n_loc[..., 1] + rot[..., 8] * n_loc[..., 2],
+            ],
+            axis=-1,
+        )
+        p_sph = c + radius[..., None] * n_w
+        # dpdu = 2*pi*r * R (-sin phi * st, cos phi * st, 0); frame fallback
+        # at the poles (degenerate parameterization)
+        t_loc = jnp.stack(
+            [-jnp.sin(phi) * st, jnp.cos(phi) * st, jnp.zeros_like(phi)],
+            axis=-1,
+        )
+        t_w = jnp.stack(
+            [
+                rot[..., 0] * t_loc[..., 0] + rot[..., 1] * t_loc[..., 1],
+                rot[..., 3] * t_loc[..., 0] + rot[..., 4] * t_loc[..., 1],
+                rot[..., 6] * t_loc[..., 0] + rot[..., 7] * t_loc[..., 1],
+            ],
+            axis=-1,
+        ) * (two_pi * radius)[..., None]
+        t_w = jnp.where(
+            (st > 1e-6)[..., None], t_w, fr.make_frame(n_w)["s"]
+        )
+        m = is_sph[..., None]
+        p = jnp.where(m, p_sph, p)
+        uv = jnp.where(m, hit.bary, uv)
+        ng = jnp.where(m, n_w, ng)
+        ns = jnp.where(m, n_w, ns)
+        tangent = jnp.where(m, t_w, tangent)
+        inst = jnp.where(is_sph, srow[..., 13].astype(jnp.int32), inst)
+        prim_area = jnp.where(
+            is_sph,
+            jnp.float32(4.0 * np.pi) * radius * radius,
+            prim_area,
+        )
+        valid = valid | (is_sph & (hit.prim < p_tris + sph.shape[0]))
+        if cone_width is not None:
+            # uv density of the spherical map ~ 1/(2 pi r)
+            row = row.at[..., 33].set(
+                jnp.where(
+                    is_sph,
+                    1.0 / jnp.maximum(two_pi * radius, 1e-20),
+                    row[..., 33],
+                )
+            )
+
     wo = -ray.direction
     back_facing = fr.dot(wo, ng) < 0.0
     footprint = None

@@ -131,6 +131,16 @@ class SphereShape(Shape):
     def __init__(self, scene, desc):
         super().__init__(scene, desc)
         self.subdivision = min(max(desc.int("subdivision", 4), 0), 8)
+        # Analytic (quadric) intersection is the DEFAULT on this renderer:
+        # the reference tessellates spheres only because RT cores want
+        # triangles (shapes/sphere.cpp); a TPU has no RT hardware, and the
+        # exact quadric test is pure vector math — faster AND exact (no
+        # faceting). `analytic: false` opts back into the subdivided
+        # icosphere mesh (identical uv parameterization either way). The
+        # compiler silently falls back to the mesh when the instance is
+        # emissive, carries a medium, or has a non-similarity transform
+        # (scene/compiler.py _analytic_sphere).
+        self.analytic = desc.bool("analytic", True)
         key = ("__sphere__", self.subdivision)
         if key not in _MESH_CACHE:
             p, t = icosphere(self.subdivision)

@@ -245,6 +245,8 @@ def mesh_heavy(res=(1280, 720), spp=4, depth=5, n=5, subdiv=5, accel="auto",
                 {
                     "impl": "sphere",
                     "prop": {
+                        # mesh-pipeline stress scene: keep the icosphere
+                        "analytic": False,
                         "subdivision": subdiv,
                         "surface": mat,
                         "transform": {

@@ -133,6 +133,7 @@ def test_compiler_attaches_cluster_tables():
         {
             "impl": "sphere",
             "prop": {
+                "analytic": False,  # this test exercises the TRIANGLE tracers
                 "subdivision": 3,
                 "surface": {
                     "impl": "matte",
