@@ -70,8 +70,10 @@ CLUSTER = 128  # triangles per leaf = DMA block (= lane width; (16,128) block)
 # lose); 128 it is.
 # BLOCK/K_CHUNK are env-overridable for on-hardware tuning sweeps only.
 BLOCK = int(_os.environ.get("LR_CLUSTER_BLOCK", 1024))  # rays per grid step
+assert BLOCK > 0 and BLOCK % 128 == 0, "LR_CLUSTER_BLOCK must be a positive multiple of 128"
 SUB = BLOCK // 128
 K_CHUNK = int(_os.environ.get("LR_CLUSTER_KCHUNK", 8))  # DMA pipeline depth
+assert K_CHUNK >= 1, "LR_CLUSTER_KCHUNK must be >= 1"
 STACK_DEPTH = 64  # complete-binary-tree depth bound (<= 2^26 clusters) + slack
 TRI_COLS = 16  # v0.xyz e1.xyz e2.xyz valid opaque slot pad...
 NODE_COLS = 8  # min.xyz max.xyz right/-1 first/-1
@@ -154,13 +156,20 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     if interior.size:
         right_i = bvh.skip[interior + 1]
         right[interior] = right_i
-        left_i = interior + 1
-        c_l = 0.5 * (bvh.aabb_min[left_i] + bvh.aabb_max[left_i])
-        c_r = 0.5 * (bvh.aabb_min[right_i] + bvh.aabb_max[right_i])
-        sep = c_r - c_l
-        axis = np.argmax(np.abs(sep), axis=-1)
-        left_high = np.take_along_axis(sep, axis[:, None], axis=-1)[:, 0] < 0.0
-        right[interior] += axis * 0.25 + left_high * 0.0625
+        # near-child-first hint in the fraction: only exact while
+        # right + 0.9375 rounds to itself in f32, i.e. right < 2^20 —
+        # beyond that the fraction would round INTO the integer child
+        # index and traversal would drop subtrees (ADVICE round 2).
+        # Larger trees keep the exact integer-only encoding; the kernel's
+        # axis/left_high decode then reads 0 (ordering noise only).
+        if n < (1 << 20):
+            left_i = interior + 1
+            c_l = 0.5 * (bvh.aabb_min[left_i] + bvh.aabb_max[left_i])
+            c_r = 0.5 * (bvh.aabb_min[right_i] + bvh.aabb_max[right_i])
+            sep = c_r - c_l
+            axis = np.argmax(np.abs(sep), axis=-1)
+            left_high = np.take_along_axis(sep, axis[:, None], axis=-1)[:, 0] < 0.0
+            right[interior] += axis * 0.25 + left_high * 0.0625
     node[:, 6] = right
     # leaf payload = block index (leaf rank in pre-order); -1 for interior
     node[:, 7] = np.where(is_leaf, np.cumsum(is_leaf) - 1, -1).astype(

@@ -20,7 +20,7 @@ from luisarender_tpu.integrators.mega_path import path_trace_batch
 from luisarender_tpu.surfaces import base as surf_base
 
 
-def _render(scene_dict, res=48, spp=2):
+def _render(scene_dict, spp=2):
     scene = lr.Scene.from_dict(scene_dict)
     compiled = lr.compile_scene(scene)
     integ = scene.integrator
@@ -45,8 +45,13 @@ def _render(scene_dict, res=48, spp=2):
 
 @pytest.mark.parametrize("block", [256, 1024])
 def test_tag_sorted_shading_matches_dispatch(monkeypatch, block):
-    d = testing.cornell_box(resolution=(48, 48), spp=2, depth=4, mixed=True) \
-        if "mixed" in testing.cornell_box.__code__.co_varnames else None
+    import inspect
+
+    d = (
+        testing.cornell_box(resolution=(48, 48), spp=2, depth=4, mixed=True)
+        if "mixed" in inspect.signature(testing.cornell_box).parameters
+        else None
+    )
     if d is None:
         import json
         import os
