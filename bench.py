@@ -296,9 +296,123 @@ def raw_cluster_bench():
     _emit("meshheavy_cluster_raw", n / dt / 1e6, "Mray/s")
 
 
+def grad_overhead_mesh():
+    """Adjoint-vs-forward ratio on a REAL scene: 512k tris + image texture
+    (VERDICT r2 item 4 — the toy Cornell number says nothing about adjoint
+    memory traffic at scale). Differentiates w.r.t. the texture atlas."""
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+    from luisarender_tpu.diff.render import get_in, make_render_fn
+
+    scene = lr.Scene.from_dict(
+        testing.mesh_heavy(res=(640, 360), spp=1, depth=4, accel="flat",
+                           textured=True)
+    )
+    compiled = lr.compile_scene(scene)
+    render = make_render_fn(
+        compiled, scene.cameras[0], scene.integrator, spp=1, max_depth=4,
+        resolution=(640, 360),
+    )
+    path = ("texture_atlas",)
+    params = {path: get_in(compiled.arrays, path)}
+
+    fwd = jax.jit(lambda p, a: jnp.mean(render(p, a)))
+    bwd = jax.jit(jax.grad(lambda p, a: jnp.mean(render(p, a))))
+
+    def timed(f, pull):
+        pull(f(params, compiled.arrays))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = f(params, compiled.arrays)
+            pull(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_f = timed(fwd, lambda r: float(r))
+    t_b = timed(bwd, lambda r: float(jnp.sum(r[path])))
+    ratio = (t_f + t_b) / t_f
+    _emit("grad_pass_overhead_mesh", ratio, "x_forward", ratio / 3.0)
+
+
+def scaling_bench():
+    """Scaling efficiency on a VIRTUAL 8-device CPU mesh (the honest proxy
+    available on single-chip hardware — BASELINE.md demands >=80% linear to
+    v5p-16; label: CPU-virtual). Strong scaling: the same 256^2 Cornell
+    pass sharded over 1/2/4/8 devices via parallel/render.py."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    times = {}
+    for n_dev in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            PALLAS_AXON_POOL_IPS="",
+            XLA_FLAGS=(
+                env.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ),
+            BENCH_SCALING_NDEV=str(n_dev),
+        )
+        out = subprocess.run(
+            [_sys.executable, __file__, "--scaling-child"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            _emit("scaling_eff_8dev", -1, "ratio")
+            print(json.dumps({"metric": "scaling_eff_8dev",
+                              "error": out.stderr[-400:]}), flush=True)
+            return
+        times[n_dev] = json.loads(line[-1])["ms"]
+    eff8 = times[1] / (8.0 * times[8])
+    _emit("scaling_eff_8dev", eff8, "ratio_cpu_virtual", eff8 / 0.8)
+    print(json.dumps({"scaling_times_ms": times}), flush=True)
+
+
+def _scaling_child():
+    import os
+
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+    from luisarender_tpu.parallel.render import make_mesh, sharded_render_pass
+
+    n_dev = int(os.environ["BENCH_SCALING_NDEV"])
+    res = 256
+    scene = lr.Scene.from_dict(
+        testing.cornell_box(resolution=(res, res), spp=4, depth=4)
+    )
+    compiled = lr.compile_scene(scene)
+    camera, integ = scene.cameras[0], scene.integrator
+    mesh = make_mesh(jax.devices()[:n_dev])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    film = camera.film
+    accum = jax.device_put(
+        film.prepare(), NamedSharding(mesh, P(mesh.axis_names[0]))
+    )
+    arrays = jax.device_put(compiled.arrays, NamedSharding(mesh, P()))
+    step = sharded_render_pass(compiled, camera, integ, mesh)
+    accum = step(arrays, accum, jnp.int32(0))
+    jax.block_until_ready(accum)
+    best = float("inf")
+    for k in range(2):
+        t0 = time.perf_counter()
+        accum = step(arrays, accum, jnp.int32(1 + k))
+        jax.block_until_ready(accum)
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"ms": best * 1e3}), flush=True)
+
+
 def main():
+    if "--scaling-child" in sys.argv:
+        return _scaling_child()
     single = {
         "--grad": grad_overhead,
+        "--grad-mesh": grad_overhead_mesh,
+        "--scaling": scaling_bench,
         "--wave": wave_bench,
         "--mesh": lambda: mesh_bench(profile="--profile" in sys.argv),
         "--mixed": bench_mixed,
@@ -312,7 +426,8 @@ def main():
             return fn()
     # default: the full metric vector
     for fn in (bench_cornell, bench_megawave, bench_mixed, bench_hero,
-               wave_bench, grad_overhead, mesh_bench, raw_cluster_bench):
+               wave_bench, grad_overhead, grad_overhead_mesh, mesh_bench,
+               raw_cluster_bench, scaling_bench):
         try:
             fn()
         except Exception as e:  # one failure must not hide the rest
