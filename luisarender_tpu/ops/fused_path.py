@@ -2,20 +2,23 @@
 
 This is the true TPU analogue of the reference's megakernel
 (/root/reference/src/integrators/mega_path.cpp:49-156): ONE kernel runs the
-entire bounce loop — closest trace, interaction reconstruction, emissive-hit
-MIS, NEE (light pick, shadow trace), matte BSDF evaluate/sample, Russian
-roulette — with every intermediate resident in VMEM/registers. The unfused
+entire bounce loop — closest trace (triangles + analytic quadric spheres),
+interaction reconstruction, emissive-hit MIS, NEE (light pick, shadow
+trace), BSDF evaluate/sample over matte/mirror/metal/plastic/glass/disney,
+Russian roulette — with every intermediate resident in VMEM/registers. The unfused
 XLA path (integrators/common.py bounce_step) round-trips the ~40-array path
 state through HBM between every phase; at 1M lanes that is ~5.4 ms per bounce
 against a ~0.4 ms memory floor. Here HBM traffic is one ray-block read and
 one radiance write per PATH, not per phase.
 
 Eligibility (checked at scene-compile time, scene/compiler.py -> plan flag
-`fused_path`): matte-only surfaces with constant textures and no normal
-maps/alpha, diffuse area lights with constant emission, uniform light sampler,
+`fused_path`): surfaces in {matte, mirror, metal, plastic, glass, disney
+(reflective subset)} with constant textures and no normal maps/alpha,
+diffuse area lights with constant emission, uniform light sampler,
 independent sampler, fixed sRGB spectrum, no environment/media, all-opaque
-flat geometry small enough for the VMEM-resident brute-force trace
-(P <= MAX_TRIS rows), <= MAX_INSTANCES instances. Everything per-lane-indexed
+geometry small enough for the VMEM-resident brute-force trace
+(P <= MAX_TRIS triangle rows + <= MAX_SPHERES analytic spheres),
+<= MAX_INSTANCES instances. Everything per-lane-indexed
 (instance row, light row) becomes an unrolled select over the (tiny) table —
 Pallas TPU has no per-lane gather, and at these sizes selects are cheaper
 than any gather anyway.
