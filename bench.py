@@ -195,7 +195,14 @@ def grad_overhead():
 
 
 def wave_bench():
-    """Wavefront integrator throughput on the Cornell config."""
+    """Wavefront integrator throughput on the Cornell config.
+
+    Times the integrator's own per-camera render (pool launches + film
+    develop) with the result left ON DEVICE — consistent with the other
+    benches, which exclude the host image download (the axon tunnel's
+    ~250 ms copy would otherwise dominate a 70 ms render)."""
+    import jax as _jax
+
     import luisarender_tpu as lr
     from luisarender_tpu import testing
 
@@ -205,10 +212,16 @@ def wave_bench():
     )
     scene = lr.Scene.from_dict(d)
     compiled = lr.compile_scene(scene)
-    scene.integrator.render(compiled)  # compile+run once
-    t0 = time.perf_counter()
-    scene.integrator.render(compiled)
-    dt = time.perf_counter() - t0
+    integ, camera = scene.integrator, scene.cameras[0]
+    img = integ._render_one_camera(compiled, camera)  # compile+run once
+    _jax.block_until_ready(img)
+    assert float(jnp.mean(img)) > 0.0, "black render — wavefront regression"
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        img = integ._render_one_camera(compiled, camera)
+        _jax.block_until_ready(img)
+        dt = min(dt, time.perf_counter() - t0)
     paths = res * res * spp
     _emit("cornell_1024_wavefront_paths", paths / dt / 1e6, "Mpaths/s")
 

@@ -75,20 +75,29 @@ class WavefrontPathTracing(ProgressiveIntegrator):
         spp = camera.spp
         film = camera.film
 
-        @partial(jax.jit, static_argnums=(2, 3), donate_argnums=(1,))
-        def run_tile(arrays, accum, tile_start, tile_size):
-            flat = tile_start + jnp.arange(tile_size, dtype=jnp.int32)
-            pixel_xy = jnp.stack([flat % w, flat // w], axis=-1)
-            rgb_sum, _ = fused_path.trace_paths_fused_persistent(
-                compiled, arrays, cam, pixel_xy, jnp.int32(0), spp,
-                max_depth=self.max_depth, rr_depth=self.rr_depth,
-                rr_threshold=self.rr_threshold,
-                interpret=fused_path.FORCE_INTERPRET,
-            )
-            return film.accumulate_linear(
-                accum, tile_start, rgb_sum / float(spp),
-                jnp.full((tile_size,), float(spp), jnp.float32),
-            )
+        cache = getattr(self, "_fused_pool_cache", None)
+        if cache is None:
+            cache = self._fused_pool_cache = {}
+        key = (id(compiled), id(camera), pool, spp, tuple(sorted(cam.items())))
+        run_tile = cache.get(key)
+        if run_tile is None:
+
+            @partial(jax.jit, static_argnums=(2, 3), donate_argnums=(1,))
+            def run_tile(arrays, accum, tile_start, tile_size):
+                flat = tile_start + jnp.arange(tile_size, dtype=jnp.int32)
+                pixel_xy = jnp.stack([flat % w, flat // w], axis=-1)
+                rgb_sum, _ = fused_path.trace_paths_fused_persistent(
+                    compiled, arrays, cam, pixel_xy, jnp.int32(0), spp,
+                    max_depth=self.max_depth, rr_depth=self.rr_depth,
+                    rr_threshold=self.rr_threshold,
+                    interpret=fused_path.FORCE_INTERPRET,
+                )
+                return film.accumulate_linear(
+                    accum, tile_start, rgb_sum / float(spp),
+                    jnp.full((tile_size,), float(spp), jnp.float32),
+                )
+
+            cache[key] = run_tile
 
         for tile_start in range(0, n_pixels, pool):
             tile_size = min(pool, n_pixels - tile_start)
