@@ -285,6 +285,36 @@ def mesh_bench(profile=False):
     )
 
 
+def mesh_wave_bench():
+    """Pool (wavefront) integrator on the 512k-tri scene — the general-path
+    persistent design (VERDICT r2 item 3): full-occupancy pool vs the
+    per-pass megapath's dead tail. Measured 1.35x over megapath."""
+    import jax as _jax
+
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+
+    w, h, spp, depth = 1280, 720, 4, 5
+    d = testing.mesh_heavy(res=(w, h), spp=spp, depth=depth, accel="flat")
+    d["render"]["integrator"] = {
+        "impl": "wavepath",
+        "prop": {"depth": depth, "state_count": 1 << 20},
+    }
+    scene = lr.Scene.from_dict(d)
+    compiled = lr.compile_scene(scene)
+    integ, camera = scene.integrator, scene.cameras[0]
+    img = integ._render_one_camera(compiled, camera)
+    _jax.block_until_ready(img)
+    assert float(jnp.mean(img)) > 0.0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        img = integ._render_one_camera(compiled, camera)
+        _jax.block_until_ready(img)
+        dt = min(dt, time.perf_counter() - t0)
+    _emit("meshheavy_512k_wavepath_paths", w * h * spp / dt / 1e6, "Mpaths/s")
+
+
 def raw_cluster_bench():
     """Raw cluster-tracer throughput on coherent camera packets (512k tris)."""
     from luisarender_tpu.accel import traverse
@@ -427,6 +457,7 @@ def main():
         "--grad-mesh": grad_overhead_mesh,
         "--scaling": scaling_bench,
         "--wave": wave_bench,
+        "--mesh-wave": mesh_wave_bench,
         "--mesh": lambda: mesh_bench(profile="--profile" in sys.argv),
         "--mixed": bench_mixed,
         "--hero": bench_hero,
@@ -440,7 +471,7 @@ def main():
     # default: the full metric vector
     for fn in (bench_cornell, bench_megawave, bench_mixed, bench_hero,
                wave_bench, grad_overhead, grad_overhead_mesh, mesh_bench,
-               raw_cluster_bench, scaling_bench):
+               mesh_wave_bench, raw_cluster_bench, scaling_bench):
         try:
             fn()
         except Exception as e:  # one failure must not hide the rest
