@@ -69,7 +69,12 @@ CLUSTER = 128  # triangles per leaf = DMA block (= lane width; (16,128) block)
 # 9.8 Mray/s camera: per-visit fixed costs dominate, so more+smaller leaves
 # lose); 128 it is.
 # BLOCK/K_CHUNK are env-overridable for on-hardware tuning sweeps only.
-BLOCK = int(_os.environ.get("LR_CLUSTER_BLOCK", 1024))  # rays per grid step
+# rays per grid step: 2048 measured best on v5e for BOTH coherent camera
+# packets (17.4 vs 16.3 Mray/s raw) and incoherent bounce rays (234 vs
+# 268 ms on the 512k-tri bounce-1 wave) — the bigger block amortizes the
+# Phase-A SMEM walk faster than the speculation union grows; 4096 reverses
+# (345 ms: union dominates).
+BLOCK = int(_os.environ.get("LR_CLUSTER_BLOCK", 2048))
 assert BLOCK > 0 and BLOCK % 128 == 0, "LR_CLUSTER_BLOCK must be a positive multiple of 128"
 SUB = BLOCK // 128
 K_CHUNK = int(_os.environ.get("LR_CLUSTER_KCHUNK", 8))  # DMA pipeline depth

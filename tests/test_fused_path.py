@@ -51,14 +51,31 @@ class TestFusedPath:
         assert np.any(np.isclose(it[:, 20], 17.0))
 
     def test_unsupported_surface_is_not_eligible(self):
+        # transmissive disney (specular_trans > 0) is outside the fused
+        # reflective subset -> fused path disengages
         d = testing.cornell_box(resolution=(16, 16), spp=1, depth=3)
-        # disney is outside the fused surface set -> fused path disengages
         d["render"]["shapes"][0]["prop"]["surface"] = {
-            "impl": "disney", "prop": {}
+            "impl": "disney",
+            "prop": {
+                "specular_trans": {"impl": "constant", "prop": {"v": [0.5]}}
+            },
         }
         scene = lr.Scene.from_dict(d)
         compiled = lr.compile_scene(scene)
         assert not compiled.plan.fused_path
+
+    def test_reflective_disney_is_eligible(self):
+        d = testing.cornell_box(resolution=(16, 16), spp=1, depth=3)
+        d["render"]["shapes"][0]["prop"]["surface"] = {
+            "impl": "disney",
+            "prop": {
+                "metallic": {"impl": "constant", "prop": {"v": [0.8]}},
+                "roughness": {"impl": "constant", "prop": {"v": [0.25]}},
+            },
+        }
+        scene = lr.Scene.from_dict(d)
+        compiled = lr.compile_scene(scene)
+        assert compiled.plan.fused_path
 
     @pytest.mark.parametrize(
         "surf",
