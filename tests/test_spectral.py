@@ -98,3 +98,36 @@ class TestSpectralRender:
         scale = np.abs(rgb_img).mean()
         err = np.abs(spec_img - rgb_img).mean() / max(scale, 1e-6)
         assert err < 0.25, err
+
+
+def test_hero_coeff_decode_matches_lut():
+    """The per-pass pre-fit coefficient decoders (round-3 constant-texture
+    fast path, scene/compiler.py _hoist_spectral_coeffs) are bit-identical
+    to the per-ray LUT decode they replace."""
+    import jax.numpy as jnp
+
+    from luisarender_tpu.spectra.hero import HeroWavelengthSpectrum
+
+    spec = HeroWavelengthSpectrum(dimension=4)
+    rgb = jnp.asarray([[0.7, 0.2, 0.1], [0.1, 0.9, 0.4], [1.0, 1.0, 1.0]])
+    swl = spec.sample_wavelengths(jnp.asarray([[0.3], [0.6], [0.9]]))
+    assert float(
+        jnp.abs(
+            spec.decode_albedo(rgb, swl)
+            - spec.decode_albedo_coeffs(spec.coeffs_albedo(rgb), swl)
+        ).max()
+    ) == 0.0
+    c, sc = spec.coeffs_unbounded(rgb * 3.0)
+    assert float(
+        jnp.abs(
+            spec.decode_unbounded(rgb * 3.0, swl)
+            - spec.decode_unbounded_coeffs(c, sc, swl)
+        ).max()
+    ) == 0.0
+    ci, si = spec.coeffs_illuminant(rgb * 5.0)
+    assert float(
+        jnp.abs(
+            spec.decode_illuminant(rgb * 5.0, swl)
+            - spec.decode_illuminant_coeffs(ci, si, swl)
+        ).max()
+    ) == 0.0
