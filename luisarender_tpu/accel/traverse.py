@@ -59,6 +59,11 @@ class TraceGeometry(NamedTuple):
     # the scene is small enough for brute force / not compiled for TPU
     cluster_nodes: jnp.ndarray | None = None  # (N', 8) f32
     cluster_tris: jnp.ndarray | None = None  # (C, 16, 128) f32
+    # Woop coefficient blocks + matmul-ready 8-wide BVH tables for the
+    # subpacket MXU tracer (ops/subpacket_pallas.py)
+    cluster_woop: jnp.ndarray | None = None  # (C, 8, 1024) f32
+    cluster_slab8: jnp.ndarray | None = None  # (N8, 8, 48) f32
+    cluster_meta8: jnp.ndarray | None = None  # (N8, 16) f32
     # analytic-sphere table (scene/compiler.py): 0:3 center, 3 radius,
     # 4:13 rotation (row-major), 13 instance id, 14 opaque; sphere hits
     # return prim = P + sphere_index (P = padded tri-slot count)
@@ -321,6 +326,19 @@ def _use_cluster(geom) -> bool:
     )
 
 
+def _use_subpacket(geom) -> bool:
+    """Subpacket MXU tracer (ops/subpacket_pallas.py): the preferred
+    large-scene closest-hit path — per-128-ray stacks + Woop matmul tests."""
+    from ..ops import subpacket_pallas
+
+    return (
+        subpacket_pallas.ENABLED
+        and geom.cluster_woop is not None
+        and geom.cluster_slab8 is not None
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _sphere_closest(sph, rays, t_min, t_max):
     """Closest analytic-sphere hit. Returns (t, idx, u, v): t=inf on miss.
 
@@ -427,6 +445,12 @@ def _trace_closest_tris(geom, rays) -> Hit:
 
             return brute_pallas.trace_closest_pallas(geom, rays)
         return trace_closest_brute(geom, rays)
+    if _use_subpacket(geom):
+        from ..ops import subpacket_pallas
+
+        return subpacket_pallas.trace_closest_subpacket(
+            geom.cluster_slab8, geom.cluster_meta8, geom.cluster_woop, rays
+        )
     if _use_cluster(geom):
         from ..ops import cluster_pallas
 

@@ -461,10 +461,10 @@ MIN_SORT_RAYS = 32768  # below this the sort costs more than it saves
 SORT_KEY_MODE = int(_os.environ.get("LR_SORT_KEY", 0))
 
 
-def _coherence_keys(o, d, t_min, t_max, node_table):
+def _coherence_keys(o, d, t_min, t_max, lo, ext):
     """Packet-coherence sort keys: origin Morton (6 bits/axis, scene-AABB
-    normalized, from the root node record) major, direction Morton (4
-    bits/axis over [-1,1], top bit = sign/octant) minor.
+    normalized via (lo, ext)) major, direction Morton (4 bits/axis over
+    [-1,1], top bit = sign/octant) minor.
 
     The kernel traverses per BLOCK-ray packet speculatively (a node is
     entered when ANY lane hits it), so throughput is set by how many
@@ -479,8 +479,7 @@ def _coherence_keys(o, d, t_min, t_max, node_table):
     direction-minor; 1 = 6D interleaved origin/direction Morton (5 bits
     each); 2 = ray-MIDPOINT cell major (finite rays; corridor clustering
     for NEE shadow rays) + direction minor."""
-    lo = node_table[0, 0:3]
-    ext = jnp.maximum(node_table[0, 3:6] - lo, 1e-12)
+    ext = jnp.maximum(ext, 1e-12)
 
     def spread(x):  # interleave: every 3rd bit (10-bit part1by2)
         x = (x | (x << 16)) & jnp.uint32(0xFF0000FF)
@@ -520,6 +519,10 @@ def _coherence_keys(o, d, t_min, t_max, node_table):
 def _trace(o, d, t_min, t_max, node_table, tri_table,
            opaque_only=False, interpret=False):
     n = o.shape[0]
+    # strip weak types (identical-program recompiles otherwise)
+    o, d, t_min, t_max = (
+        x.astype(jnp.float32) for x in (o, d, t_min, t_max)
+    )
     # materialize the ray components ONCE before the coherence sort: the
     # sort consumes them as 8 separate operands, and without the barrier XLA
     # fuses (duplicates) the whole upstream ray-construction graph into each
@@ -533,7 +536,10 @@ def _trace(o, d, t_min, t_max, node_table, tri_table,
         # per scatter per call), while lax.sort is a fast parallel network —
         # carrying the ray components as sort payloads costs ~2-6 ms total.
         # The original index rides along; the outputs sort back by it.
-        key = _coherence_keys(o, d, t_min, t_max, node_table)
+        lo = node_table[0, 0:3]
+        key = _coherence_keys(
+            o, d, t_min, t_max, lo, node_table[0, 3:6] - lo
+        )
         iota = jnp.arange(n, dtype=jnp.int32)
         (_, ox, oy, oz, dx, dy, dz, t_min, t_max, orig) = jax.lax.sort(
             (key, o[:, 0], o[:, 1], o[:, 2],

@@ -216,6 +216,9 @@ class CompiledScene:
             num_tris=self.plan.num_tris,
             cluster_nodes=a.get("cluster_nodes"),
             cluster_tris=a.get("cluster_tris"),
+            cluster_woop=a.get("cluster_woop"),
+            cluster_slab8=a.get("cluster_slab8"),
+            cluster_meta8=a.get("cluster_meta8"),
             sph=a.get("sph"),
         )
 
@@ -995,8 +998,23 @@ class SceneCompiler:
         elif sph_table is not None:
             arrays["trace"]["sph"] = jnp.asarray(sph_table)
         if not two_level and cluster_tables is not None:
+            from ..ops.subpacket_pallas import (
+                MAX_SLAB8_NODES,
+                build_bvh8,
+                build_slab_meta,
+                build_woop_table,
+            )
+
             arrays["trace"]["cluster_nodes"] = jnp.asarray(cluster_tables[0])
             arrays["trace"]["cluster_tris"] = jnp.asarray(cluster_tables[1])
+            table8 = build_bvh8(cluster_tables[0])
+            if table8.shape[0] <= MAX_SLAB8_NODES:
+                slab8, meta8 = build_slab_meta(table8)
+                arrays["trace"]["cluster_woop"] = jnp.asarray(
+                    build_woop_table(cluster_tables[1])
+                )
+                arrays["trace"]["cluster_slab8"] = jnp.asarray(slab8)
+                arrays["trace"]["cluster_meta8"] = jnp.asarray(meta8)
         if has_env and hasattr(env, "device_arrays"):
             arrays["environment"] = env.device_arrays()
 

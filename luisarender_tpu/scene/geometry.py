@@ -234,6 +234,21 @@ def surface_interaction(
 
     u = hit.bary[..., 0]
     v = hit.bary[..., 1]
+    # The subpacket MXU tracer (ops/subpacket_pallas.py) returns bary = NaN:
+    # its Woop-transform u/v are algebraically rearranged vs MT, so exact
+    # barycentrics are recomputed HERE from the winner's shade row (v0/e1/e2
+    # already fetched — zero extra gathers) instead of extracted per cluster
+    # in the kernel (~120 cycles/cluster saved).
+    from ..accel.traverse import intersect_tri
+
+    recomp = jnp.isnan(u)
+    mt_valid, _, u_mt, v_mt = intersect_tri(
+        ray.origin, ray.direction,
+        row[..., 0:3], row[..., 3:6], row[..., 6:9],
+    )
+    keep = recomp & valid & mt_valid
+    u = jnp.where(recomp, jnp.where(keep, u_mt, 0.0), u)
+    v = jnp.where(recomp, jnp.where(keep, v_mt, 0.0), v)
     w = 1.0 - u - v
     # p = (1-u-v) p0 + u p1 + v p2 = v0 + u e1 + v e2
     p = row[..., 0:3] + u[..., None] * row[..., 3:6] + v[..., None] * row[..., 6:9]
