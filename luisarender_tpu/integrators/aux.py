@@ -232,19 +232,328 @@ class DirectLighting(_SimpleProgressive):
 
 @register(SceneNodeTag.INTEGRATOR, "aov", "AOV")
 class AOVIntegrator(_SimpleProgressive):
-    """Renders auxiliary buffers; `variant` picks which one lands in the film
-    (sample/normal/albedo/depth/roughness/mask — aov.cpp:19-27). The full
-    multi-buffer EXR dump arrives with the output subsystem."""
+    """Auxiliary-buffer path tracing (aov.cpp:19-230).
+
+    Two modes:
+    - `variant` given: legacy single-buffer mode — that one component lands
+      in the camera film (handy for tests/quick looks).
+    - otherwise: the reference's multi-buffer mode. All `components`
+      (default "all": sample/diffuse/specular/normal/albedo/depth/
+      roughness/ndc/mask, aov.cpp:20-28) accumulate over `noisy_count`
+      samples and are dumped per the `dump` strategy (aov.cpp:383-393):
+      power2 = at power-of-two sample counts, all = every sample,
+      final = once at the end. Files follow aov.cpp:418-421 naming:
+      `{stem}_{component}_{count:05}{ext}` (no count suffix for `final`),
+      each scaled by 1/samples.
+    """
 
     VARIANTS = ("sample", "normal", "albedo", "depth", "roughness", "mask")
+    # component -> channel count (aov.cpp:20-28; roughness saves 2 channels)
+    COMPONENTS = {
+        "sample": 3, "diffuse": 3, "specular": 3, "normal": 3, "albedo": 3,
+        "depth": 1, "roughness": 2, "ndc": 3, "mask": 1,
+    }
 
     def __init__(self, scene, desc):
         super().__init__(scene, desc)
-        self.variant = desc.string("variant", "albedo").lower()
-        if self.variant not in self.VARIANTS:
+        self.variant = desc.string("variant", "").lower()
+        if self.variant and self.variant not in self.VARIANTS:
             raise ValueError(
                 f"unknown AOV variant '{self.variant}'; choose {self.VARIANTS}"
             )
+        self.max_depth = desc.int("depth", 10)
+        self.rr_depth = desc.int("rr_depth", 0)
+        self.rr_threshold = desc.float("rr_threshold", 0.95)
+        self.noisy_count = max(desc.int("noisy_count", 8), 1)
+        comps = desc.string_list("components", ["all"])
+        enabled = set()
+        for comp in comps:
+            comp = comp.lower()
+            if comp == "all":
+                enabled |= set(self.COMPONENTS)
+            elif comp in self.COMPONENTS:
+                enabled.add(comp)
+            else:
+                import logging
+
+                logging.getLogger("luisarender_tpu").warning(
+                    "ignoring unknown AOV component '%s'", comp
+                )
+        self.components = sorted(enabled)
+        dump = desc.string("dump", "power2").lower()
+        if dump not in ("power2", "all", "final"):
+            import logging
+
+            logging.getLogger("luisarender_tpu").warning(
+                "unknown dump strategy '%s'; falling back to power2", dump
+            )
+            dump = "power2"
+        self.dump_strategy = dump
+
+    # ------------------------------------------------------------------
+    # multi-buffer mode
+    # ------------------------------------------------------------------
+
+    def _should_dump(self, n):
+        if self.dump_strategy == "power2":
+            return n > 0 and (n & (n - 1)) == 0
+        if self.dump_strategy == "all":
+            return True
+        return n == self.noisy_count
+
+    def _aov_sample(self, compiled, arrays, camera, pixel_xy, sample_index):
+        """One sample of every enabled component; returns {comp: (N, ch)}.
+
+        The path loop mirrors the reference's render_auxiliary_kernel
+        (aov.cpp:240-366): full NEE+MIS path tracing with a parallel
+        diffuse-only accumulator that pauses across specular bounces
+        (roughness < 0.05 on every lobe — aov.cpp:361)."""
+        sampler = self.sampler
+        light_sampler = self.light_sampler
+        ctx = compiled.context(arrays)
+        geom = compiled.trace_geometry(arrays)
+        plan = compiled.plan
+        spectrum = compiled.spectrum
+        n = pixel_xy.shape[0]
+        c = plan.spectral_dim
+        want = set(self.components)
+        need_path = bool(want & {"sample", "diffuse", "specular"})
+
+        ray, state, swl, cam_weight = _camera_rays(
+            compiled, camera, sampler, pixel_xy, sample_index
+        )
+        out = {}
+
+        # --- first-bounce components ---
+        hit = traverse.trace_closest(geom, ray)
+        it = surface_interaction(arrays, hit, ray)
+        valid = it.valid
+        v3 = valid[..., None]
+        if "mask" in want:
+            out["mask"] = valid.astype(jnp.float32)[..., None]
+        if "normal" in want:
+            out["normal"] = jnp.where(v3, it.ns, 0.0)
+        first_depth = jnp.where(
+            valid, fr.length(it.p - ray.origin), 0.0
+        )
+        if "depth" in want:
+            out["depth"] = first_depth[..., None]
+        if "ndc" in want:
+            w, h = camera.film.resolution
+            res = jnp.asarray([w, h], jnp.float32)
+            ndc_xy = (
+                (pixel_xy.astype(jnp.float32) + 0.5) / res * 2.0 - 1.0
+            ) * jnp.asarray([1.0, -1.0], jnp.float32)
+            ndc_z = first_depth / jnp.maximum(ray.t_max - ray.t_min, 1e-6)
+            out["ndc"] = jnp.where(
+                v3,
+                jnp.concatenate([ndc_xy, ndc_z[..., None]], axis=-1),
+                0.0,
+            )
+        if "albedo" in want:
+            a = surf_base.dispatch(
+                ctx, it, "albedo", swl, init=jnp.zeros((n, c), jnp.float32)
+            )
+            out["albedo"] = jnp.where(v3, compiled.spectrum.srgb(a, swl), 0.0)
+        if "roughness" in want:
+            r = surf_base.dispatch(
+                ctx, it, "roughness", init=jnp.ones((n, 2), jnp.float32)
+            )
+            out["roughness"] = jnp.where(v3, r, 0.0)
+
+        if not need_path:
+            return out
+
+        # --- full path with diffuse split ---
+        zero_f = jnp.zeros((n,), jnp.float32)
+        carry = {
+            "ray": ray,
+            "hit": hit,
+            "beta": jnp.broadcast_to(cam_weight[..., None], (n, c)),
+            "beta_d": jnp.broadcast_to(cam_weight[..., None], (n, c)),
+            "L": jnp.zeros((n, c), jnp.float32),
+            "L_d": jnp.zeros((n, c), jnp.float32),
+            "active": zero_f < 1.0,
+            "state": state,
+            "pdf_bsdf": zero_f + 1e16,
+            "eta_scale": zero_f + 1.0,
+            "spec": zero_f > 1.0,  # specular_bounce flag
+            "depth": jnp.int32(0),
+        }
+
+        def cond(cy):
+            return jnp.any(cy["active"]) & (cy["depth"] < self.max_depth)
+
+        def body(cy):
+            ray, beta, active = cy["ray"], cy["beta"], cy["active"]
+            L, L_d, beta_d = cy["L"], cy["L_d"], cy["beta_d"]
+            spec = cy["spec"]
+            pdf_bsdf = cy["pdf_bsdf"]
+            state = cy["state"]
+            wo = -ray.direction
+            hit_b = jax.lax.cond(
+                cy["depth"] == 0,
+                lambda: cy["hit"],
+                lambda: traverse.trace_closest(
+                    geom,
+                    ray._replace(t_max=jnp.where(active, ray.t_max, 0.0)),
+                ),
+            )
+            it_b = surface_interaction(arrays, hit_b, ray)
+            it_b = it_b._replace(valid=it_b.valid & active)
+
+            def add(L, L_d, x, cond_mask):
+                # x excludes throughput: L += beta*x, L_d += beta_d*x
+                # (Li/Li_diffuse accumulators of aov.cpp:289-302)
+                L = jnp.where(cond_mask[..., None], L + beta * x, L)
+                L_d = jnp.where(
+                    (cond_mask & ~spec)[..., None], L_d + beta_d * x, L_d
+                )
+                return L, L_d
+
+            if plan.has_environment:
+                env = light_sampler.evaluate_miss(
+                    ctx, ray.direction, swl, 0.0
+                )
+                mw = sampling.balance_heuristic(pdf_bsdf, env["pdf"])
+                L, L_d = add(
+                    L, L_d, env["L"] * mw[..., None], active & ~it_b.valid
+                )
+            active2 = active & it_b.valid
+            if plan.num_lights > 0:
+                has_light = arrays["instances"]["light_tag"][it_b.inst] >= 0
+                le = light_sampler.evaluate_hit(
+                    ctx, it_b, ray.origin, swl, 0.0
+                )
+                mw = sampling.balance_heuristic(pdf_bsdf, le["pdf"])
+                L, L_d = add(
+                    L, L_d, le["L"] * mw[..., None], active2 & has_light
+                )
+            has_surface = arrays["instances"]["surface_tag"][it_b.inst] >= 0
+            active2 = active2 & has_surface
+            it_b = it_b._replace(valid=active2)
+
+            state, u_sel = sampler.generate_1d(state)
+            state, u_light = sampler.generate_2d(state)
+            state, u_lobe = sampler.generate_1d(state)
+            state, u_bsdf = sampler.generate_2d(state)
+            state, u_rr = sampler.generate_1d(state)
+
+            (L, ray2, beta2, pdf_bsdf, eta_scale, active3, _, _event,
+             shadow) = common.shade_surface(
+                compiled, arrays, light_sampler, it_b, wo, swl, L, ray,
+                beta, pdf_bsdf, cy["eta_scale"], active2,
+                jnp.int32(0), (u_sel, u_light, u_lobe, u_bsdf),
+                defer_shadow=True,
+            )
+            occluded = traverse.trace_any(geom, shadow["ray"])
+            nee_ok = shadow["pending"] & ~occluded
+            L = jnp.where(nee_ok[..., None], L + shadow["contrib"], L)
+            L_d = jnp.where(
+                (nee_ok & ~spec)[..., None],
+                L_d + shadow["contrib"] * safe_div(beta_d, beta), L_d,
+            )
+            # diffuse throughput mirrors beta's multiplicative update while
+            # the bounce is non-specular (aov.cpp:350-352)
+            factor = safe_div(beta2, beta)
+            beta_d = jnp.where(
+                (active2 & ~spec)[..., None], beta_d * factor, beta_d
+            )
+            rough = surf_base.dispatch(
+                ctx, it_b, "roughness", init=jnp.ones((n, 2), jnp.float32)
+            )
+            spec = jnp.where(
+                active2, jnp.all(rough < 0.05, axis=-1), spec
+            )
+
+            q = jnp.maximum(
+                jnp.max(beta2, axis=-1) * eta_scale, 0.05
+            )
+            do_rr = (cy["depth"] + 1 >= self.rr_depth) & active3
+            kill = do_rr & (q < self.rr_threshold) & (u_rr >= q)
+            boost = jnp.where(
+                do_rr & (q < self.rr_threshold),
+                1.0 / jnp.maximum(q, 1e-6), 1.0,
+            )
+            beta2 = beta2 * boost[..., None]
+            beta_d = beta_d * boost[..., None]
+            return {
+                "ray": ray2, "hit": cy["hit"], "beta": beta2,
+                "beta_d": beta_d, "L": L, "L_d": L_d,
+                "active": active3 & ~kill, "state": state,
+                "pdf_bsdf": pdf_bsdf, "eta_scale": eta_scale,
+                "spec": spec, "depth": cy["depth"] + 1,
+            }
+
+        final = jax.lax.while_loop(cond, body, carry)
+        rgb = spectrum.srgb(final["L"], swl)
+        rgb_d = spectrum.srgb(final["L_d"], swl)
+        if "sample" in want:
+            out["sample"] = rgb
+        if "diffuse" in want:
+            out["diffuse"] = rgb_d
+        if "specular" in want:
+            out["specular"] = rgb - rgb_d
+        return out
+
+    def _render_aovs(self, compiled, camera, save):
+        """Multi-buffer accumulation + dump loop (aov.cpp:395-430)."""
+        import os
+
+        from ..utils import imageio
+
+        w, h = camera.film.resolution
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.int32),
+            jnp.arange(w, dtype=jnp.int32),
+            indexing="ij",
+        )
+        pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def one_sample(arrays, bufs, s):
+            vals = self._aov_sample(compiled, arrays, camera, pixel_xy, s)
+            return {
+                k: bufs[k] + jnp.nan_to_num(v) for k, v in vals.items()
+            }
+
+        bufs = {
+            comp: jnp.zeros((h * w, self.COMPONENTS[comp]), jnp.float32)
+            for comp in self.components
+        }
+        stem, ext = os.path.splitext(camera.file)
+        ext = ext or ".exr"
+        results = {}
+        for s in range(self.noisy_count):
+            bufs = one_sample(compiled.arrays, bufs, jnp.int32(s))
+            count = s + 1
+            if self._should_dump(count):
+                scale = 1.0 / count
+                for comp in self.components:
+                    img = (
+                        jnp.asarray(bufs[comp]) * scale
+                    ).reshape(h, w, -1)
+                    img = jnp.asarray(jax.device_get(img))
+                    if self.dump_strategy == "final":
+                        path = f"{stem}_{comp}{ext}"
+                    else:
+                        path = f"{stem}_{comp}_{count:05d}{ext}"
+                    results[path] = __import__("numpy").asarray(img)
+                    if save:
+                        imageio.save_image(path, results[path])
+        return results
+
+    def render(self, compiled, save: bool = False) -> dict:
+        if self.variant:
+            return super().render(compiled, save=save)
+        results = {}
+        for camera in compiled.scene.cameras:
+            results.update(self._render_aovs(compiled, camera, save))
+        return results
+
+    # ------------------------------------------------------------------
+    # legacy single-buffer mode (`variant` property)
+    # ------------------------------------------------------------------
 
     def _render_one_camera(self, compiled, camera):
         # AOVs are data, not radiance: bypass the color film's relative

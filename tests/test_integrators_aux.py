@@ -88,3 +88,61 @@ class TestGroup:
         }
         out = lr.render(lr.Scene.from_dict(d))
         assert len(out) >= 1
+
+
+class TestAOVMultiBuffer:
+    """Reference multi-buffer mode: components + dump strategies
+    (aov.cpp:383-430)."""
+
+    def test_power2_dump_counts_and_buffers(self):
+        scene = _cornell(
+            "aov", spp=4, noisy_count=4,
+            components=["sample", "diffuse", "specular", "normal", "depth",
+                        "mask", "ndc"],
+            dump="power2",
+        )
+        results = lr.render(scene)
+        # dumps at samples 1, 2, 4 for each of the 7 components
+        assert len(results) == 21
+        assert "cornell_sample_00004.exr" in results
+        assert "cornell_mask_00001.exr" in results
+        img = results["cornell_sample_00004.exr"]
+        assert img.shape == (24, 24, 3) and np.isfinite(img).all()
+        assert img.mean() > 0.01
+        # diffuse + specular = sample (same paths, split accumulators)
+        d = results["cornell_diffuse_00004.exr"]
+        s = results["cornell_specular_00004.exr"]
+        assert np.allclose(d + s, img, rtol=1e-4, atol=1e-5)
+        # cornell is all-matte: everything is diffuse
+        assert np.abs(s).max() < 1e-5
+        depth = results["cornell_depth_00004.exr"]
+        assert depth.shape == (24, 24, 1)
+        assert depth[12, 12, 0] > 0.1  # back wall is away from the camera
+        mask = results["cornell_mask_00004.exr"]
+        assert mask.max() <= 1.0 + 1e-6 and mask[12, 12, 0] > 0.99
+
+    def test_final_dump_naming(self, tmp_path):
+        scene = _cornell(
+            "aov", spp=2, noisy_count=2, components=["albedo", "roughness"],
+            dump="final",
+        )
+        results = lr.render(scene)
+        assert set(results) == {"cornell_albedo.exr", "cornell_roughness.exr"}
+        assert results["cornell_roughness.exr"].shape == (24, 24, 2)
+        a = results["cornell_albedo.exr"]
+        # matte cornell: red/green walls show in first-bounce albedo
+        assert a.max() > 0.3
+
+    def test_save_writes_exrs(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        scene = _cornell(
+            "aov", spp=1, noisy_count=1, components=["normal"], dump="final"
+        )
+        results = scene.integrator.render(
+            lr.compile_scene(scene), save=True
+        )
+        from luisarender_tpu.utils.imageio import load_image
+
+        (path,) = results
+        on_disk = load_image(str(tmp_path / path))
+        assert np.allclose(on_disk, results[path], atol=1e-6)
