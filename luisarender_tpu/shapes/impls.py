@@ -56,7 +56,15 @@ class InlineMesh(Shape):
 
 @register(SceneNodeTag.SHAPE, "mesh", "Mesh")
 class ObjMesh(Shape):
-    """OBJ file mesh with content cache (shapes/mesh.cpp LRU-cached load)."""
+    """File mesh with content cache (shapes/mesh.cpp LRU-cached Assimp load).
+
+    Formats: OBJ (utils/objloader.py) and PLY ascii/binary
+    (utils/plyloader.py) — PLY covers the Bitterli/PBRT scene repositories
+    without a conversion step. `subdivision: N` applies N levels of Loop
+    subdivision (the triangle-native analogue of the reference's
+    aiProcess-based Catmull-Clark subdivision option, mesh.cpp:61-77;
+    authored normals/uvs are discarded and normals recomputed, as the
+    reference's subdivider does)."""
 
     def __init__(self, scene, desc):
         super().__init__(scene, desc)
@@ -64,11 +72,22 @@ class ObjMesh(Shape):
         if path is None:
             raise ValueError("mesh shape requires 'file'")
         self.flip_uv = desc.bool("flip_uv", False)
-        key = (path, self.flip_uv)
+        self.subdivision = max(desc.int("subdivision", 0), 0)
+        key = (path, self.flip_uv, self.subdivision)
         if key not in _MESH_CACHE:
-            p, t, n, uv = load_obj(path)
+            if str(path).lower().endswith(".ply"):
+                from ..utils.plyloader import load_ply
+
+                p, t, n, uv = load_ply(path)
+            else:
+                p, t, n, uv = load_obj(path)
             if uv is not None and self.flip_uv:
                 uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)
+            if self.subdivision > 0:
+                from ..utils.loop_subdiv import loop_subdivide
+
+                p, t = loop_subdivide(p, t, self.subdivision)
+                n, uv = None, None
             _MESH_CACHE[key] = MeshData(
                 positions=p, triangles=t, normals=n, uvs=uv
             )
