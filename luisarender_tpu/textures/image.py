@@ -15,6 +15,7 @@ LOD comes from ray-cone footprints (Interaction.footprint, trilinear blend).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +23,44 @@ from ..scene.node import SceneNodeTag
 from ..scene.registry import register
 from ..utils import imageio
 from .base import Texture
+
+
+@jax.custom_vjp
+def _atlas_gather(atlas, yi, xi):
+    """Texel gather with a sort-not-scatter backward.
+
+    Forward is the plain XLA gather. The default VJP of a gather is a
+    scatter-add with arbitrary duplicate indices — effectively serial on
+    TPU (~37 ms per 1M indices, PERF.md) and the dominant term of the
+    round-3 `grad_pass_overhead_mesh` miss (4.0x vs <=3 target). The
+    custom backward instead sorts the cotangents by flat texel id (variadic
+    lax.sort — a fast parallel network) and reduces duplicates with a
+    sorted-segment sum, the same sort-not-scatter doctrine the forward
+    path's tracers use."""
+    return atlas[yi, xi]
+
+
+def _atlas_gather_fwd(atlas, yi, xi):
+    return atlas[yi, xi], (atlas.shape, yi, xi)
+
+
+def _atlas_gather_bwd(res, g):
+    shape, yi, xi = res
+    h, w, c = shape
+    flat = (yi * w + xi).reshape(-1).astype(jnp.int32)
+    g2 = g.reshape(-1, c)
+    sorted_ = jax.lax.sort(
+        (flat,) + tuple(g2[:, k] for k in range(c)), num_keys=1
+    )
+    flat_s = sorted_[0]
+    gs = jnp.stack(sorted_[1:], axis=-1)
+    d_flat = jax.ops.segment_sum(
+        gs, flat_s, num_segments=h * w, indices_are_sorted=True
+    )
+    return d_flat.reshape(h, w, c), None, None
+
+
+_atlas_gather.defvjp(_atlas_gather_fwd, _atlas_gather_bwd)
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -106,18 +145,25 @@ class ImageTexture(Texture):
         fx = (x - x0)[..., None]
         fy = (y - y0)[..., None]
 
-        def fetch(xi, yi):
+        def coords(xi, yi):
             xi = jnp.clip(xi, 0, rect[..., 2] - 1) + rect[..., 0]
             yi = jnp.clip(yi, 0, rect[..., 3] - 1) + rect[..., 1]
-            return atlas[yi, xi]
+            return xi, yi
 
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
+        # one batched gather for all 4 corners: its custom VJP then does ONE
+        # sort+segment-sum over 4N cotangents instead of 4 scatter-adds
+        xs, ys = zip(
+            coords(x0i, y0i), coords(x0i + 1, y0i),
+            coords(x0i, y0i + 1), coords(x0i + 1, y0i + 1),
+        )
+        vals = _atlas_gather(atlas, jnp.stack(ys), jnp.stack(xs))
         return (
-            fetch(x0i, y0i) * (1 - fx) * (1 - fy)
-            + fetch(x0i + 1, y0i) * fx * (1 - fy)
-            + fetch(x0i, y0i + 1) * (1 - fx) * fy
-            + fetch(x0i + 1, y0i + 1) * fx * fy
+            vals[0] * (1 - fx) * (1 - fy)
+            + vals[1] * fx * (1 - fy)
+            + vals[2] * (1 - fx) * fy
+            + vals[3] * fx * fy
         )
 
     @staticmethod

@@ -172,3 +172,27 @@ class TestProceduralTextures:
         out = lr.render(scene)["tex.exr"]
         c = out[8, 8]
         assert c[0] > 0.8 and c[2] < 0.2
+
+
+def test_atlas_gather_custom_vjp_matches_dense():
+    """The sort+segment-sum backward of _atlas_gather must equal the plain
+    scatter-add gradient (duplicate indices included)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from luisarender_tpu.textures.image import _atlas_gather
+
+    rng = np.random.default_rng(5)
+    atlas = jnp.asarray(rng.normal(size=(16, 32, 4)).astype(np.float32))
+    yi = jnp.asarray(rng.integers(0, 16, (4, 300)).astype(np.int32))
+    xi = jnp.asarray(rng.integers(0, 32, (4, 300)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(4, 300, 4)).astype(np.float32))
+
+    g_custom = jax.grad(lambda a: jnp.sum(_atlas_gather(a, yi, xi) * w))(atlas)
+    g_ref = jax.grad(lambda a: jnp.sum(a[yi, xi] * w))(atlas)
+    assert np.allclose(np.asarray(g_custom), np.asarray(g_ref), atol=1e-4)
+    # forward unchanged
+    assert np.allclose(
+        np.asarray(_atlas_gather(atlas, yi, xi)), np.asarray(atlas[yi, xi])
+    )
