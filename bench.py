@@ -382,17 +382,16 @@ def grad_overhead_mesh():
     _emit("grad_pass_overhead_mesh", ratio, "x_forward", ratio / 3.0)
 
 
-def scaling_bench():
-    """Scaling efficiency on a VIRTUAL 8-device CPU mesh (the honest proxy
-    available on single-chip hardware — BASELINE.md demands >=80% linear to
-    v5p-16; label: CPU-virtual). Strong scaling: the same 256^2 Cornell
-    pass sharded over 1/2/4/8 devices via parallel/render.py."""
+def _scaling_run(mode, metric, target, devs=(1, 2, 4, 8)):
+    """Run the sharded pass in a CPU-virtual-mesh subprocess per device
+    count; emit `metric`. mode: 'strong' (fixed 256^2 problem) or 'weak'
+    (fixed 64 film rows PER device)."""
     import os
     import subprocess
     import sys as _sys
 
     times = {}
-    for n_dev in (1, 2, 4, 8):
+    for n_dev in devs:
         env = dict(os.environ)
         env.update(
             JAX_PLATFORMS="cpu",
@@ -402,6 +401,7 @@ def scaling_bench():
                 + " --xla_force_host_platform_device_count=8"
             ),
             BENCH_SCALING_NDEV=str(n_dev),
+            BENCH_SCALING_MODE=mode,
         )
         out = subprocess.run(
             [_sys.executable, __file__, "--scaling-child"],
@@ -409,14 +409,125 @@ def scaling_bench():
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not line:
-            _emit("scaling_eff_8dev", -1, "ratio")
-            print(json.dumps({"metric": "scaling_eff_8dev",
+            _emit(metric, -1, "ratio")
+            print(json.dumps({"metric": metric,
                               "error": out.stderr[-400:]}), flush=True)
             return
         times[n_dev] = json.loads(line[-1])["ms"]
-    eff8 = times[1] / (8.0 * times[8])
-    _emit("scaling_eff_8dev", eff8, "ratio_cpu_virtual", eff8 / 0.8)
-    print(json.dumps({"scaling_times_ms": times}), flush=True)
+    n_max = max(devs)
+    if mode == "weak":
+        # constant work per device: efficiency = t_1 / t_N
+        eff = times[1] / times[n_max]
+    else:
+        eff = times[1] / (n_max * times[n_max])
+    _emit(metric, eff, "ratio_cpu_virtual", eff / target)
+    print(json.dumps({f"scaling_times_ms_{mode}": times}), flush=True)
+
+
+def scaling_bench():
+    """Scaling on a VIRTUAL 8-device CPU mesh (single-chip hardware;
+    BASELINE.md demands >=80% linear to v5p-16). Round-3 verdict: the
+    STRONG-scaling number on a shared-core host is bounded by core count,
+    not by the sharded program — so the headline metric is now WEAK scaling
+    (fixed rows/device: a core-fair proxy; the sharded path itself is
+    collective-free in forward renders). Strong scaling is still printed
+    for continuity, and `sharded_overhead_1dev` (real-chip, below) pins the
+    absolute cost of the sharded program."""
+    _scaling_run("weak", "scaling_weak_8dev", 0.8)
+    _scaling_run("strong", "scaling_eff_8dev", 0.8)
+
+
+def sharded_overhead_bench():
+    """Real-chip falsifiability anchor for the scaling story: the SAME
+    sharded (shard_map over a 1-device mesh) render pass vs the plain
+    jitted pass on the actual TPU. A ratio ~1.0 means the sharded program
+    adds no overhead, so multi-chip efficiency is governed by the (absent)
+    collectives — which the forward pass doesn't have."""
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+    from luisarender_tpu.integrators.mega_path import path_trace_batch
+    from luisarender_tpu.parallel.render import make_mesh, sharded_render_pass
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    res = 256
+    scene = lr.Scene.from_dict(
+        testing.cornell_box(resolution=(res, res), spp=4, depth=4)
+    )
+    compiled = lr.compile_scene(scene)
+    camera, integ = scene.cameras[0], scene.integrator
+    film = camera.film
+
+    # plain pass
+    pixel_xy = _pixel_grid(res, res)
+
+    @jax.jit
+    def plain(arrays, accum, s0):
+        rgb, weight = path_trace_batch(
+            compiled, arrays, camera, integ.sampler, integ.light_sampler,
+            pixel_xy, s0, max_depth=integ.max_depth,
+            rr_depth=integ.rr_depth, rr_threshold=integ.rr_threshold,
+        )
+        return film.accumulate_image(
+            accum, rgb.reshape(res, res, 3), weight.reshape(res, res)
+        )
+
+    mesh = make_mesh(jax.devices()[:1])
+    step = sharded_render_pass(compiled, camera, integ, mesh)
+
+    def timed(fn, accum0, put):
+        accum = put(accum0)
+        accum = fn(compiled.arrays, accum, jnp.int32(0))
+        float(jnp.sum(accum))
+        best = float("inf")
+        for k in range(3):
+            t0 = time.perf_counter()
+            accum = fn(compiled.arrays, accum, jnp.int32(1 + k))
+            assert float(jnp.sum(accum)) != 0.0
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_plain = timed(plain, film.prepare(), lambda a: a)
+    t_shard = timed(
+        step, film.prepare(),
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(mesh.axis_names[0]))
+        ),
+    )
+    ratio = t_shard / t_plain
+    _emit("sharded_overhead_1dev", ratio, "x_plain", ratio / 1.1)
+
+
+def longtail_bench():
+    """Long-tail integrators (VERDICT r3 item 9): photon mapping, PSSMLT,
+    gradient-domain PT on a Cornell-class scene. Metric = pixel samples per
+    wall second of a WARM render() (the host progressive loop included —
+    that's the production path), so round-over-round perf work on these has
+    a baseline. GPT traces 4 shifted paths + reconstruction per sample;
+    PSSMLT maps spp to its mutation budget internally."""
+    import luisarender_tpu as lr
+    from luisarender_tpu import testing
+
+    res, spp = 128, 16
+    configs = {
+        "photon_cornell": {"impl": "megapm", "prop": {"depth": 6}},
+        "pssmlt_cornell": {"impl": "pssmlt", "prop": {"depth": 6}},
+        "gpt_cornell": {"impl": "gpt", "prop": {"depth": 4}},
+    }
+    for metric, integ in configs.items():
+        try:
+            d = testing.cornell_box(resolution=(res, res), spp=spp, depth=6)
+            d["render"]["integrator"] = integ
+            scene = lr.Scene.from_dict(d)
+            compiled = lr.compile_scene(scene)
+            scene.integrator.render(compiled)  # warm: compiles all passes
+            t0 = time.perf_counter()
+            scene.integrator.render(compiled)
+            dt = time.perf_counter() - t0
+            _emit(metric, res * res * spp / dt / 1e6, "Msamples/s")
+        except Exception as e:
+            print(json.dumps({"metric": metric,
+                              "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
 
 
 def _scaling_child():
@@ -427,9 +538,11 @@ def _scaling_child():
     from luisarender_tpu.parallel.render import make_mesh, sharded_render_pass
 
     n_dev = int(os.environ["BENCH_SCALING_NDEV"])
-    res = 256
+    mode = os.environ.get("BENCH_SCALING_MODE", "strong")
+    w = 256
+    h = 256 if mode == "strong" else 64 * n_dev
     scene = lr.Scene.from_dict(
-        testing.cornell_box(resolution=(res, res), spp=4, depth=4)
+        testing.cornell_box(resolution=(w, h), spp=4, depth=4)
     )
     compiled = lr.compile_scene(scene)
     camera, integ = scene.cameras[0], scene.integrator
@@ -460,6 +573,8 @@ def main():
         "--grad": grad_overhead,
         "--grad-mesh": grad_overhead_mesh,
         "--scaling": scaling_bench,
+        "--sharded-overhead": sharded_overhead_bench,
+        "--longtail": longtail_bench,
         "--wave": wave_bench,
         "--mesh-wave": mesh_wave_bench,
         "--mesh": lambda: mesh_bench(profile="--profile" in sys.argv),
@@ -475,7 +590,8 @@ def main():
     # default: the full metric vector
     for fn in (bench_cornell, bench_megawave, bench_mixed, bench_hero,
                wave_bench, grad_overhead, grad_overhead_mesh, mesh_bench,
-               mesh_wave_bench, raw_cluster_bench, scaling_bench):
+               mesh_wave_bench, raw_cluster_bench, longtail_bench,
+               sharded_overhead_bench, scaling_bench):
         try:
             fn()
         except Exception as e:  # one failure must not hide the rest
