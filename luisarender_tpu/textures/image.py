@@ -15,7 +15,6 @@ LOD comes from ray-cone footprints (Interaction.footprint, trilinear blend).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,42 +24,17 @@ from ..utils import imageio
 from .base import Texture
 
 
-@jax.custom_vjp
 def _atlas_gather(atlas, yi, xi):
-    """Texel gather with a sort-not-scatter backward.
+    """One batched texel gather for all four bilinear corners.
 
-    Forward is the plain XLA gather. The default VJP of a gather is a
-    scatter-add with arbitrary duplicate indices — effectively serial on
-    TPU (~37 ms per 1M indices, PERF.md) and the dominant term of the
-    round-3 `grad_pass_overhead_mesh` miss (4.0x vs <=3 target). The
-    custom backward instead sorts the cotangents by flat texel id (variadic
-    lax.sort — a fast parallel network) and reduces duplicates with a
-    sorted-segment sum, the same sort-not-scatter doctrine the forward
-    path's tracers use."""
+    Batching the corners into ONE gather call matters on TPU (each XLA
+    gather call on ~1M dynamic indices costs milliseconds, PERF.md). A
+    sort+sorted-segment-sum custom BACKWARD was tried for the round-3
+    `grad_pass_overhead_mesh` miss and measured a WASH against the plain
+    scatter-add VJP (29.5 vs 26.9 ms per 1M cotangents on v5e — the
+    `indices_are_sorted` hint buys nothing), so the default VJP stands;
+    negative result recorded in PERF.md round 4."""
     return atlas[yi, xi]
-
-
-def _atlas_gather_fwd(atlas, yi, xi):
-    return atlas[yi, xi], (atlas.shape, yi, xi)
-
-
-def _atlas_gather_bwd(res, g):
-    shape, yi, xi = res
-    h, w, c = shape
-    flat = (yi * w + xi).reshape(-1).astype(jnp.int32)
-    g2 = g.reshape(-1, c)
-    sorted_ = jax.lax.sort(
-        (flat,) + tuple(g2[:, k] for k in range(c)), num_keys=1
-    )
-    flat_s = sorted_[0]
-    gs = jnp.stack(sorted_[1:], axis=-1)
-    d_flat = jax.ops.segment_sum(
-        gs, flat_s, num_segments=h * w, indices_are_sorted=True
-    )
-    return d_flat.reshape(h, w, c), None, None
-
-
-_atlas_gather.defvjp(_atlas_gather_fwd, _atlas_gather_bwd)
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1

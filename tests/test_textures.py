@@ -174,9 +174,10 @@ class TestProceduralTextures:
         assert c[0] > 0.8 and c[2] < 0.2
 
 
-def test_atlas_gather_custom_vjp_matches_dense():
-    """The sort+segment-sum backward of _atlas_gather must equal the plain
-    scatter-add gradient (duplicate indices included)."""
+def test_atlas_gather_batched_matches_dense():
+    """The batched 4-corner gather must match per-corner indexing in both
+    value and gradient (its custom-backward experiment was removed after
+    measuring a wash — see textures/image.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
