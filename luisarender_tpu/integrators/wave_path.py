@@ -29,6 +29,19 @@ globally-next sample) is a small end-of-tile tail where slots whose pixel
 finished early idle; in exchange every splat is scatter-free and there is no
 1M-lane cumsum per iteration. Measured: 0.136 -> ~20x Mpaths/s on the
 1024^2 Cornell wavefront bench.
+
+On the reference's SORT machinery (wave_path_v2.cpp:854-982 gathering/
+compaction/ordering): the pool itself cannot be persistently reordered —
+slots are pixel-pinned so film splats stay dense slice-adds — so
+"sort-at-refill" is realized as SORT-AT-TRACE instead: every large-scene
+trace (ops/cluster_pallas.py / ops/subpacket_pallas.py `_trace`) runs the
+pool's rays through the origin/direction-Morton variadic-sort before
+blocking into packets and unsorts the hits on return. That is the same
+coherence the reference's ordering sort buys, applied where this design
+needs it (the tracer is the only coherence-sensitive stage; shading is
+compute-all or blocked tag-sort, surfaces/base.py), without mutating pool
+state — and refill accounting (each pixel exactly spp samples) stays
+trivially exact (tests/test_wavefront.py::test_spp_counts_exact).
 """
 
 from __future__ import annotations

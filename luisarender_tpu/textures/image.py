@@ -126,8 +126,7 @@ class ImageTexture(Texture):
 
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-        # one batched gather for all 4 corners: its custom VJP then does ONE
-        # sort+segment-sum over 4N cotangents instead of 4 scatter-adds
+        # one batched gather call for all 4 corners (see _atlas_gather)
         xs, ys = zip(
             coords(x0i, y0i), coords(x0i + 1, y0i),
             coords(x0i, y0i + 1), coords(x0i + 1, y0i + 1),

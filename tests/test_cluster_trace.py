@@ -152,6 +152,11 @@ def test_compiler_attaches_cluster_tables():
     tr = compiled.arrays["trace"]
     assert "cluster_nodes" in tr and "cluster_tris" in tr
     assert tr["cluster_tris"].shape[1:] == (cp.TRI_COLS, cp.CLUSTER)
+    # subpacket-tracer tables (ops/subpacket_pallas.py) ride along
+    assert "cluster_slab8" in tr and "cluster_meta8" in tr
+    from luisarender_tpu.ops import subpacket_pallas as _sp
+    assert tr["cluster_slab8"].shape[1:] == (8, _sp.SLAB_COLS)
+    assert tr["cluster_meta8"].shape[0] == tr["cluster_slab8"].shape[0]
     # every valid canonical slot appears exactly once
     slots = np.asarray(tr["cluster_tris"])[:, 11, :].ravel()
     valid = np.asarray(tr["cluster_tris"])[:, 9, :].ravel() > 0
