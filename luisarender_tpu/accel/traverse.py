@@ -62,8 +62,9 @@ class TraceGeometry(NamedTuple):
     # Woop coefficient blocks + matmul-ready 8-wide BVH tables for the
     # subpacket MXU tracer (ops/subpacket_pallas.py)
     cluster_woop: jnp.ndarray | None = None  # (C, 8, 1024) f32
-    cluster_slab8: jnp.ndarray | None = None  # (N8, 8, 48) f32
+    cluster_slab8: jnp.ndarray | None = None  # (N8, 8, 128) f32
     cluster_meta8: jnp.ndarray | None = None  # (N8, 16) f32
+    cluster_cboxes: jnp.ndarray | None = None  # (C, 8) f32 leaf AABBs
     # analytic-sphere table (scene/compiler.py): 0:3 center, 3 radius,
     # 4:13 rotation (row-major), 13 instance id, 14 opaque; sphere hits
     # return prim = P + sphere_index (P = padded tri-slot count)
@@ -326,6 +327,19 @@ def _use_cluster(geom) -> bool:
     )
 
 
+def _use_wide8(geom) -> bool:
+    """Wide-block BVH8 tracer (ops/wide8_pallas.py): the DEFAULT large-scene
+    path — shared 2048-lane walk with the matmul Phase A."""
+    from ..ops import wide8_pallas
+
+    return (
+        wide8_pallas.ENABLED
+        and geom.cluster_slab8 is not None
+        and geom.cluster_cboxes is not None
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _use_subpacket(geom) -> bool:
     """Subpacket MXU tracer (ops/subpacket_pallas.py): the preferred
     large-scene closest-hit path — per-128-ray stacks + Woop matmul tests."""
@@ -451,6 +465,13 @@ def _trace_closest_tris(geom, rays) -> Hit:
         return subpacket_pallas.trace_closest_subpacket(
             geom.cluster_slab8, geom.cluster_meta8, geom.cluster_woop, rays
         )
+    if _use_wide8(geom):
+        from ..ops import wide8_pallas
+
+        return wide8_pallas.trace_closest_wide8(
+            geom.cluster_slab8, geom.cluster_meta8, geom.cluster_cboxes,
+            geom.cluster_tris, rays,
+        )
     if _use_cluster(geom):
         from ..ops import cluster_pallas
 
@@ -483,6 +504,13 @@ def _trace_any_tris(geom, rays):
 
             return brute_pallas.trace_any_pallas(geom, rays)
         return trace_any_brute(geom, rays)
+    if _use_wide8(geom):
+        from ..ops import wide8_pallas
+
+        return wide8_pallas.trace_any_wide8(
+            geom.cluster_slab8, geom.cluster_meta8, geom.cluster_cboxes,
+            geom.cluster_tris, rays,
+        )
     if _use_cluster(geom):
         from ..ops import cluster_pallas
 

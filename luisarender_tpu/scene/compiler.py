@@ -219,6 +219,7 @@ class CompiledScene:
             cluster_woop=a.get("cluster_woop"),
             cluster_slab8=a.get("cluster_slab8"),
             cluster_meta8=a.get("cluster_meta8"),
+            cluster_cboxes=a.get("cluster_cboxes"),
             sph=a.get("sph"),
         )
 
@@ -1009,12 +1010,17 @@ class SceneCompiler:
             arrays["trace"]["cluster_tris"] = jnp.asarray(cluster_tables[1])
             table8 = build_bvh8(cluster_tables[0])
             if table8.shape[0] <= MAX_SLAB8_NODES:
+                from ..ops.wide8_pallas import build_cluster_boxes
+
                 slab8, meta8 = build_slab_meta(table8)
                 arrays["trace"]["cluster_woop"] = jnp.asarray(
                     build_woop_table(cluster_tables[1])
                 )
                 arrays["trace"]["cluster_slab8"] = jnp.asarray(slab8)
                 arrays["trace"]["cluster_meta8"] = jnp.asarray(meta8)
+                arrays["trace"]["cluster_cboxes"] = jnp.asarray(
+                    build_cluster_boxes(cluster_tables[0])
+                )
         if has_env and hasattr(env, "device_arrays"):
             arrays["environment"] = env.device_arrays()
 

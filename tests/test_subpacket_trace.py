@@ -176,3 +176,76 @@ def test_nan_bary_interaction_recompute():
     # no NaN leaks anywhere, including miss lanes
     for f in (it_nan.p, it_nan.uv, it_nan.ns):
         assert np.all(np.isfinite(np.asarray(f)))
+
+
+# ---------------------------------------------------------------------------
+# Wide-block BVH8 tracer (ops/wide8_pallas.py): same tables, 2048-ray
+# shared stack, MT Phase B with exact bary
+# ---------------------------------------------------------------------------
+
+
+def _wide_tables(positions, triangles, opaque, T):
+    from luisarender_tpu.ops import wide8_pallas as wp
+
+    bvh4 = build_bvh(positions, triangles, leaf_size=4)
+    node_tab, tri_tab = cp.build_cluster_tables(
+        positions, triangles, opaque, _canonical(bvh4, T)
+    )
+    slab8, meta8 = sp.build_slab_meta(sp.build_bvh8(node_tab))
+    cboxes = wp.build_cluster_boxes(node_tab)
+    return bvh4, slab8, meta8, cboxes, tri_tab
+
+
+@pytest.mark.parametrize("T", [700, 8000])
+def test_wide8_closest_matches_brute(T):
+    from luisarender_tpu.ops import wide8_pallas as wp
+
+    positions, triangles = _soup(T)
+    rng = np.random.default_rng(7)
+    opaque = rng.uniform(size=T) > 0.3
+    bvh4, slab8, meta8, cboxes, tri_tab = _wide_tables(
+        positions, triangles, opaque, T
+    )
+    geom = _brute_geom(positions, triangles, bvh4, opaque, T)
+
+    rays = _rays(rng, 1500)
+    ref = trace_closest_brute(geom, rays)
+    new = wp.trace_closest_wide8(
+        jnp.asarray(slab8), jnp.asarray(meta8), jnp.asarray(cboxes),
+        jnp.asarray(tri_tab), rays, interpret=True,
+    )
+    # MT Phase B: exact agreement expected (same test as brute force)
+    assert np.array_equal(
+        np.isinf(np.asarray(ref.t)), np.isinf(np.asarray(new.t))
+    )
+    h = np.isfinite(np.asarray(ref.t))
+    assert np.allclose(
+        np.asarray(new.t)[h], np.asarray(ref.t)[h], rtol=1e-5, atol=1e-6
+    )
+    assert np.array_equal(np.asarray(new.prim)[h], np.asarray(ref.prim)[h])
+    assert np.allclose(
+        np.asarray(new.bary)[h], np.asarray(ref.bary)[h], atol=1e-5
+    )
+
+
+def test_wide8_any_matches_brute():
+    from luisarender_tpu.ops import wide8_pallas as wp
+
+    T = 8000
+    positions, triangles = _soup(T, seed=2)
+    rng = np.random.default_rng(9)
+    opaque = rng.uniform(size=T) > 0.4
+    bvh4, slab8, meta8, cboxes, tri_tab = _wide_tables(
+        positions, triangles, opaque, T
+    )
+    geom = _brute_geom(positions, triangles, bvh4, opaque, T)
+
+    rays = _rays(rng, 1500, t_max=1.0)
+    ref = np.asarray(trace_any_brute(geom, rays))
+    new = np.asarray(
+        wp.trace_any_wide8(
+            jnp.asarray(slab8), jnp.asarray(meta8), jnp.asarray(cboxes),
+            jnp.asarray(tri_tab), rays, interpret=True,
+        )
+    )
+    assert np.array_equal(ref, new)
