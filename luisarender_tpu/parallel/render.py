@@ -71,11 +71,16 @@ def sharded_render_pass(compiled, camera, integrator, mesh: Mesh, resolution=Non
             row0 = idx.astype(jnp.int32) * (h // n_dev)
             return local_pass(arrays, accum, sample_index, row0)
 
+        # check_vma=False: Pallas kernels (the fused megapath / cluster
+        # tracers) declare out_shapes without varying-mesh-axis metadata,
+        # which the vma checker rejects; per-device execution is still a
+        # plain single-device program, so the check adds nothing here
         return jax.shard_map(
             per_device,
             mesh=mesh,
             in_specs=(P(), P(axis), P()),
             out_specs=P(axis),
+            check_vma=False,
         )(arrays, accum, sample_index)
 
     return jax.jit(sharded, donate_argnums=(1,))
@@ -183,6 +188,7 @@ def make_sharded_grad_fn(
         mesh=mesh,
         in_specs=(P(), P(), P(axis)),
         out_specs=(P(), P()),
+        check_vma=False,
     )
     target_sharded = jax.device_put(target, NamedSharding(mesh, P(axis)))
     return jax.jit(lambda params, arrays: sharded(params, arrays, target_sharded))
