@@ -836,6 +836,16 @@ class GradientPathTracing(ProgressiveIntegrator):
             & (sh_pixels[:, 1] >= 0) & (sh_pixels[:, 1] < h)
         )
 
+        # cached per (scene, camera): a fresh jit closure per render()
+        # call recompiles the whole pass
+        cache = getattr(self, "_pass_cache", None)
+        if cache is None:
+            cache = self._pass_cache = {}
+        ckey = (id(compiled), id(camera), self.render_time)
+        render_pass = cache.get(ckey)
+        if render_pass is not None:
+            return self._run_passes(film, spp, spd, compiled, render_pass)
+
         @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
         def render_pass(arrays, bufs, sample_index0, n_samples):
             def one_sample(i, bufs):
@@ -901,6 +911,14 @@ class GradientPathTracing(ProgressiveIntegrator):
 
             return jax.lax.fori_loop(0, n_samples, one_sample, bufs)
 
+        cache[ckey] = render_pass
+        return self._run_passes(film, spp, spd, compiled, render_pass)
+
+    def _run_passes(self, film, spp, spd, compiled, render_pass):
+        w, h = film.resolution
+        camera_file = [
+            c.file for c in compiled.scene.cameras if c.film is film
+        ][0]
         bufs = (
             film.prepare(),
             jnp.zeros((h, w, 4), jnp.float32),  # gx rgb + splat count
@@ -918,7 +936,7 @@ class GradientPathTracing(ProgressiveIntegrator):
             return primal
         gx = gx[..., :3] / jnp.maximum(gx[..., 3:4], 1.0)
         gy = gy[..., :3] / jnp.maximum(gy[..., 3:4], 1.0)
-        self._aux_buffers[camera.file] = {
+        self._aux_buffers[camera_file] = {
             "gradient_x": gx,
             "gradient_y": gy,
             "effective": eff[..., None] / spp * jnp.ones((1, 1, 3)),

@@ -353,18 +353,31 @@ class PhotonMapping(ProgressiveIntegrator):
         )
         radius = world_diag * self.initial_radius_scale
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def iteration(arrays, accum, i, radius):
-            photons = self._emit_photons(compiled, arrays, i)
-            grid = self._build_grid(compiled, arrays, photons[0], photons[3], radius)
-            n_emitted = jnp.float32(self.photons_per_iter)
-            rgb, weight = self._camera_pass(
-                compiled, arrays, camera, pixel_xy, i,
-                photons, grid, radius, n_emitted,
-            )
-            return film.accumulate_image(
-                accum, rgb.reshape(h, w, 3), weight.reshape(h, w)
-            )
+        # cache the jitted iteration per (scene, camera): a fresh closure
+        # per render() call would force a full recompile every call
+        cache = getattr(self, "_iter_cache", None)
+        if cache is None:
+            cache = self._iter_cache = {}
+        key = (id(compiled), id(camera))
+        iteration = cache.get(key)
+        if iteration is None:
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def iteration(arrays, accum, i, radius):
+                photons = self._emit_photons(compiled, arrays, i)
+                grid = self._build_grid(
+                    compiled, arrays, photons[0], photons[3], radius
+                )
+                n_emitted = jnp.float32(self.photons_per_iter)
+                rgb, weight = self._camera_pass(
+                    compiled, arrays, camera, pixel_xy, i,
+                    photons, grid, radius, n_emitted,
+                )
+                return film.accumulate_image(
+                    accum, rgb.reshape(h, w, 3), weight.reshape(h, w)
+                )
+
+            cache[key] = iteration
 
         accum = film.prepare()
         r = radius

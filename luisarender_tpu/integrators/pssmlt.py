@@ -147,9 +147,21 @@ class PSSMLT(Integrator):
         n_pixels = w * h
         dims = self._dims()
         chains = self.chains
-        sampler = PSSSampler(dims - 2)
         arrays = compiled.arrays
         seed = 0x5EED
+        # jitted fns cached per (scene, camera): fresh closures per call
+        # would recompile the chains on every render()
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        ckey = (id(compiled), id(camera))
+        if ckey in cache:
+            bootstrap_fn, trace0_fn, mutate_step = cache[ckey]
+            return self._run_chains(
+                compiled, camera, arrays, bootstrap_fn, trace0_fn,
+                mutate_step,
+            )
+        sampler = PSSSampler(dims - 2)
 
         def uniform_block(key_salt, n, d):
             ids = jnp.arange(n, dtype=jnp.uint32)
@@ -186,14 +198,9 @@ class PSSMLT(Integrator):
             )[0]
             return total / rounds, u0
 
-        b, u = bootstrap_fn(arrays)
-        b = float(b)
-        if b <= 0.0:
-            return jnp.zeros((h, w, 3), jnp.float32)
-
-        rgb0, lum0, pix0 = jax.jit(
+        trace0_fn = jax.jit(
             lambda a, u: self._trace(compiled, a, camera, sampler, u)
-        )(arrays, u)
+        )
 
         # --- chain iterations with splatting ---
         @partial(jax.jit, donate_argnums=(1,))
@@ -240,6 +247,21 @@ class PSSMLT(Integrator):
             ]
             return jnp.stack(cols, axis=-1)
 
+        cache[ckey] = (bootstrap_fn, trace0_fn, mutate_step)
+        return self._run_chains(
+            compiled, camera, arrays, bootstrap_fn, trace0_fn, mutate_step
+        )
+
+    def _run_chains(self, compiled, camera, arrays, bootstrap_fn, trace0_fn,
+                    mutate_step):
+        w, h = camera.film.resolution
+        n_pixels = w * h
+        chains = self.chains
+        b, u = bootstrap_fn(arrays)
+        b = float(b)
+        if b <= 0.0:
+            return jnp.zeros((h, w, 3), jnp.float32)
+        rgb0, lum0, pix0 = trace0_fn(arrays, u)
         total_mutations = max((camera.spp * n_pixels) // chains, 1)
         splat = jnp.zeros((h, w, 3), jnp.float32)
         state = (u, rgb0, lum0, pix0)
