@@ -157,6 +157,7 @@ def test_compiler_attaches_cluster_tables():
     from luisarender_tpu.ops import subpacket_pallas as _sp
     assert tr["cluster_slab8"].shape[1:] == (8, _sp.SLAB_COLS)
     assert tr["cluster_meta8"].shape[0] == tr["cluster_slab8"].shape[0]
+    assert tr["cluster_cboxes"].shape == (tr["cluster_tris"].shape[0], 8)
     # every valid canonical slot appears exactly once
     slots = np.asarray(tr["cluster_tris"])[:, 11, :].ravel()
     valid = np.asarray(tr["cluster_tris"])[:, 9, :].ravel() > 0
