@@ -510,18 +510,17 @@ def sharded_overhead_bench():
 
 def longtail_bench():
     """Long-tail integrators (VERDICT r3 item 9): photon mapping, PSSMLT,
-    gradient-domain PT on a Cornell-class scene. These integrators build
-    fresh jitted closures per render() call (so a "warm" second render
-    recompiles — it measures XLA, not the renderer); the metric is instead
-    the SLOPE between spp=4 and spp=16 renders, which cancels the
-    spp-independent compile+setup cost and yields true marginal pixel
-    samples per second. GPT traces 4 shifted paths + reconstruction per
-    sample; PSSMLT maps spp to its mutation budget internally."""
+    gradient-domain PT on a Cornell-class scene. Metric = pixel samples per
+    second of a WARM second render() — valid since the integrators cache
+    their jitted passes per (scene, camera) (an spp-slope variant was
+    needed before that fix, and broke afterwards: the axon server's compile
+    cache makes the second scene's compile free, so the slope went
+    negative). GPT traces 4 shifted paths + reconstruction per sample;
+    PSSMLT maps spp to its mutation budget internally."""
     import luisarender_tpu as lr
     from luisarender_tpu import testing
 
-    res = 128
-    spp_lo, spp_hi = 4, 16
+    res, spp = 128, 16
     configs = {
         "photon_cornell": {"impl": "megapm", "prop": {"depth": 6}},
         "pssmlt_cornell": {"impl": "pssmlt", "prop": {"depth": 6}},
@@ -529,22 +528,15 @@ def longtail_bench():
     }
     for metric, integ in configs.items():
         try:
-            times = {}
-            for spp in (spp_lo, spp_hi):
-                d = testing.cornell_box(
-                    resolution=(res, res), spp=spp, depth=6
-                )
-                d["render"]["integrator"] = dict(integ)
-                scene = lr.Scene.from_dict(d)
-                compiled = lr.compile_scene(scene)
-                t0 = time.perf_counter()
-                scene.integrator.render(compiled)
-                times[spp] = time.perf_counter() - t0
-            dt = max(times[spp_hi] - times[spp_lo], 1e-6)
-            _emit(
-                metric, res * res * (spp_hi - spp_lo) / dt / 1e6,
-                "Msamples/s",
-            )
+            d = testing.cornell_box(resolution=(res, res), spp=spp, depth=6)
+            d["render"]["integrator"] = dict(integ)
+            scene = lr.Scene.from_dict(d)
+            compiled = lr.compile_scene(scene)
+            scene.integrator.render(compiled)  # compile + warm the caches
+            t0 = time.perf_counter()
+            scene.integrator.render(compiled)
+            dt = time.perf_counter() - t0
+            _emit(metric, res * res * spp / dt / 1e6, "Msamples/s")
         except Exception as e:
             print(json.dumps({"metric": metric,
                               "error": f"{type(e).__name__}: {e}"}),
