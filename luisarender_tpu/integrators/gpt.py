@@ -876,40 +876,52 @@ class GradientPathTracing(ProgressiveIntegrator):
                 accum = film.accumulate_image(
                     accum, rgb_c.reshape(h, w, 3), 4.0 * out["weight"].reshape(h, w)
                 )
-                # neighbor splats: 2x shifted radiance at spp 1
-                nb = jnp.where(in_bounds[..., None], 2.0 * out["neighbor"], 0.0)
-                nb_w = jnp.where(in_bounds, 1.0, 0.0)
-                accum = film.accumulate_scatter(accum, sh_pixels, nb, nb_w)
-                eff = eff.at[
-                    jnp.clip(sh_pixels[:, 1], 0, h - 1),
-                    jnp.clip(sh_pixels[:, 0], 0, w - 1),
-                ].add(jnp.where(in_bounds & out["shift_alive"], 1.0, 0.0))
+                # neighbor splats: 2x shifted radiance at spp 1. Every
+                # GPT shift is a CONSTANT +-1-pixel offset, so all splats
+                # are dense jnp.roll's with a zeroed border instead of
+                # scatter-adds — six 65k-262k-index scatters per sample
+                # were ~85%% of warm render time (TPU scatters are the
+                # documented slow path; the trace itself is 32 ms).
+                def roll_img(img, dx, dy):
+                    r = jnp.roll(img, shift=(dy, dx), axis=(0, 1))
+                    if dx == 1:
+                        r = r.at[:, 0].set(0.0)
+                    elif dx == -1:
+                        r = r.at[:, -1].set(0.0)
+                    if dy == 1:
+                        r = r.at[0].set(0.0)
+                    elif dy == -1:
+                        r = r.at[-1].set(0.0)
+                    return r
+
+                nb4 = (2.0 * out["neighbor"]).reshape(4, h, w, 3)
+                alive4 = out["shift_alive"].astype(jnp.float32).reshape(
+                    4, h, w
+                )
+                wones = jnp.ones((h, w), jnp.float32)
+                for k, (sdx, sdy) in enumerate(PIXEL_SHIFTS):
+                    accum = film.accumulate_image(
+                        accum, roll_img(nb4[k], sdx, sdy),
+                        roll_img(wones, sdx, sdy),
+                    )
+                    eff = eff + roll_img(alive4[k], sdx, sdy)
                 # gradients: right/bottom at the pixel (+), left/top at the
-                # shifted pixel (-) (gpt.cpp:1179-1189)
+                # shifted pixel (-) (gpt.cpp:1179-1189); the main-grid adds
+                # are raster-order -> plain reshaped adds, the left/top
+                # ones are (-1, 0)/(0, -1) rolls
                 gdiff = 2.0 * (
                     out["gradient"]
                     - _tile4(out["very_direct"])
                 )
-                g4 = gdiff.reshape(4, n, 3)
-                px = pixel_xy[:, 0]
-                py = pixel_xy[:, 1]
-                ones = jnp.ones((n,), jnp.float32)
-                gx = gx.at[py, px, :3].add(g4[0])
-                gx = gx.at[py, px, 3].add(ones)
-                gy = gy.at[py, px, :3].add(g4[1])
-                gy = gy.at[py, px, 3].add(ones)
-                lx = jnp.clip(px - 1, 0, w - 1)
-                ok_l = px - 1 >= 0
-                gx = gx.at[py, lx, :3].add(
-                    jnp.where(ok_l[..., None], -g4[2], 0.0)
+                g4 = gdiff.reshape(4, h, w, 3)
+                gx = gx + jnp.concatenate(
+                    [g4[0] + roll_img(-g4[2], -1, 0),
+                     (wones + roll_img(wones, -1, 0))[..., None]], axis=-1
                 )
-                gx = gx.at[py, lx, 3].add(jnp.where(ok_l, 1.0, 0.0))
-                ty = jnp.clip(py - 1, 0, h - 1)
-                ok_t = py - 1 >= 0
-                gy = gy.at[ty, px, :3].add(
-                    jnp.where(ok_t[..., None], -g4[3], 0.0)
+                gy = gy + jnp.concatenate(
+                    [g4[1] + roll_img(-g4[3], 0, -1),
+                     (wones + roll_img(wones, 0, -1))[..., None]], axis=-1
                 )
-                gy = gy.at[ty, px, 3].add(jnp.where(ok_t, 1.0, 0.0))
                 return accum, gx, gy, eff
 
             return jax.lax.fori_loop(0, n_samples, one_sample, bufs)
