@@ -312,24 +312,34 @@ class PhotonMapping(ProgressiveIntegrator):
             jnp.int32,
         )
 
-        def body(i, total):
-            cell_i = i // budget
-            k = i % budget
+        def body(cell_i, total):
+            # whole per-cell BUDGET in ONE slot matrix: XLA gathers have a
+            # large PER-CALL cost, and the previous per-(cell, k) loop made
+            # 27*budget*4 of them per bounce (~8 s/iteration at 128^2); one
+            # (n, budget) gather per array per cell is 27*4 calls total
             cc = jnp.clip(base_cell + offsets[cell_i], 0, g - 1)
             cid = (cc[..., 0] * g + cc[..., 1]) * g + cc[..., 2]
             start = jnp.searchsorted(sorted_cells, cid)
-            slot = jnp.clip(start + k, 0, order.shape[0] - 1)
-            in_cell = sorted_cells[slot] == cid
-            pi = order[slot]
-            d2 = jnp.sum((ph_p[pi] - it.p) ** 2, axis=-1)
+            slots = jnp.clip(
+                start[:, None] + jnp.arange(budget, dtype=jnp.int32),
+                0, order.shape[0] - 1,
+            )  # (n, budget)
+            in_cell = sorted_cells[slots] == cid[:, None]
+            pi = order[slots]
+            d2 = jnp.sum((ph_p[pi] - it.p[:, None, :]) ** 2, axis=-1)
             # photon must arrive on the shading side
-            front = fr.dot(ph_wi[pi], it.ns) > 0.0
-            ok = in_cell & ph_valid[pi] & (d2 < r2) & front & it.valid
-            contrib = beta * kd_over_pi * ph_power[pi]
-            return total + jnp.where(ok[..., None], contrib, 0.0)
+            front = jnp.sum(ph_wi[pi] * it.ns[:, None, :], axis=-1) > 0.0
+            ok = (
+                in_cell & ph_valid[pi] & (d2 < r2) & front
+                & it.valid[:, None]
+            )
+            cell_sum = jnp.sum(
+                jnp.where(ok[..., None], ph_power[pi], 0.0), axis=1
+            )
+            return total + beta * kd_over_pi * cell_sum
 
         total = jax.lax.fori_loop(
-            0, 27 * budget, body, jnp.zeros((n, c), jnp.float32)
+            0, 27, body, jnp.zeros((n, c), jnp.float32)
         )
         norm = 1.0 / (np.pi * r2 * n_emitted)
         return total * norm
