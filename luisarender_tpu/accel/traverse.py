@@ -328,8 +328,10 @@ def _use_cluster(geom) -> bool:
 
 
 def _use_wide8(geom) -> bool:
-    """Wide-block BVH8 tracer (ops/wide8_pallas.py): the DEFAULT large-scene
-    path — shared 2048-lane walk with the matmul Phase A."""
+    """Wide-block BVH8 tracer (ops/wide8_pallas.py): opt-in experiment
+    (LR_WIDE8=1) — shared 2048-lane walk with the matmul Phase A. The
+    cluster tracer remains the default large-scene path (PERF.md: the
+    matmul Phase A measured no net win; Phase B is the wall)."""
     from ..ops import wide8_pallas
 
     return (

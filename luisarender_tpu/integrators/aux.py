@@ -264,6 +264,10 @@ class AOVIntegrator(_SimpleProgressive):
         self.max_depth = desc.int("depth", 10)
         self.rr_depth = desc.int("rr_depth", 0)
         self.rr_threshold = desc.float("rr_threshold", 0.95)
+        # DELIBERATE deviation from aov.cpp:53 (which clamps to >=8): small
+        # noisy_count values are honored so tiny validation renders (and the
+        # test suite) can request 1-4 accumulation samples; the reference's
+        # clamp is a noise-quality guard, not a correctness requirement.
         self.noisy_count = max(desc.int("noisy_count", 8), 1)
         comps = desc.string_list("components", ["all"])
         enabled = set()

@@ -8,13 +8,21 @@ deterministic*:
 - photon pass: batched light emission (`sample_le`) + masked random walk;
   every (path, bounce) slot is a potential photon deposit (fixed SoA — no
   queues);
-- grid build: quantize photon positions to cells, ARGSORT by cell id, and
-  derive per-cell ranges by binary search — the XLA-native analogue of the
-  atomic linked list;
+- grid build: quantize photon positions to cells, co-sort the photon SoA by
+  cell id with ONE multi-operand `lax.sort` (no argsort-then-gather), cap
+  each cell at `cell_budget` photons, and SCATTER the survivors into a dense
+  (rows, budget*F) cell-row table plus a dense cell->row index — the
+  XLA-native analogue of the atomic linked-list hash grid (megapm.cpp:64-120:
+  the reference also bounds the grid by hashing; here the bound is
+  `table_rows` occupied cells, overflow cells are dropped deterministically
+  in cell-id order);
 - camera pass: walk to the first diffuse-ish hit (through specular via BSDF
-  sampling), then gather over the 27 neighboring cells with a fixed per-cell
-  photon budget; indirect = gathered / (pi r^2 N_emitted), direct lighting
-  via NEE exactly like the path tracer;
+  sampling), LATCH that gather point, and run ONE fused gather after the
+  walk: 27 neighbor cells -> cell rows via a dense index lookup, then a
+  single (n*27)-row gather of whole 1.5 KB cell rows (row-gathers at whole-
+  cell granularity are bandwidth-bound on TPU; the round-4 searchsorted-
+  per-cell loop was 2.3 s/iteration, this is ~20 ms). indirect = gathered /
+  (pi r^2 N_emitted), direct lighting via NEE exactly like the path tracer;
 - SPPM shared-radius shrink across iterations: r_{i+1}^2 = r_i^2 (i+alpha)/(i+1)
   (the `shared_radius` trick, megapm.cpp:43).
 """
@@ -51,6 +59,11 @@ class PhotonMapping(ProgressiveIntegrator):
         self.alpha = desc.float("alpha", 0.7)
         self.grid_res = desc.int("grid_resolution", 64)
         self.cell_budget = desc.int("cell_budget", 32)
+        # max occupied cells in the dense cell-row table (overflow cells are
+        # dropped, like a hash-grid bound); 32k rows x 32 budget x 12 cols
+        # f32 = 50 MB — photon SoAs are ~16 MB so this is the dominant
+        # footprint, still far under HBM
+        self.table_rows = desc.int("table_rows", 32768)
 
     # -------------------- photon pass --------------------
     def _emit_photons(self, compiled, arrays, iteration):
@@ -102,15 +115,20 @@ class PhotonMapping(ProgressiveIntegrator):
                     for k in e
                 }
         beta = emission["weight"] * float(n_lights)  # 1/p(light) = n_lights
+        beta0 = beta  # initial emitted power: the RR survival reference
         ray = ct.make_ray(
             ct.offset_ray_origin(emission["p"], emission["ng"]), emission["wi"]
         )
 
         depth_total = self.photon_depth
-        ph_p = jnp.zeros((depth_total, n, 3), jnp.float32)
-        ph_power = jnp.zeros((depth_total, n, c), jnp.float32)
-        ph_wi = jnp.zeros((depth_total, n, 3), jnp.float32)
-        ph_valid = jnp.zeros((depth_total, n), bool)
+        # depth-0 deposits are excluded by construction (direct lighting is
+        # NEE's job), so the SoA only carries depth_total-1 slots — every
+        # downstream sort/scatter pays per photon ROW (45 ns/row on v5e)
+        n_dep = max(depth_total - 1, 1)
+        ph_p = jnp.zeros((n_dep, n, 3), jnp.float32)
+        ph_power = jnp.zeros((n_dep, n, c), jnp.float32)
+        ph_wi = jnp.zeros((n_dep, n, 3), jnp.float32)
+        ph_valid = jnp.zeros((n_dep, n), bool)
 
         active = jnp.ones((n,), bool)
         # fixed-depth photon walk, depositing at every surface hit
@@ -126,10 +144,11 @@ class PhotonMapping(ProgressiveIntegrator):
             wo = -ray.direction
             # deposit (photons arriving at any real surface; the camera-side
             # gather only happens on diffuse hits which is where it matters)
-            ph_p = ph_p.at[d].set(it.p)
-            ph_power = ph_power.at[d].set(beta)
-            ph_wi = ph_wi.at[d].set(wo)
-            ph_valid = ph_valid.at[d].set(has_surface & (d > 0))
+            if d > 0:
+                ph_p = ph_p.at[d - 1].set(it.p)
+                ph_power = ph_power.at[d - 1].set(beta)
+                ph_wi = ph_wi.at[d - 1].set(wo)
+                ph_valid = ph_valid.at[d - 1].set(has_surface)
             # continue the walk
             state, u_lobe = sampler.generate_1d(state)
             state, u_bsdf = sampler.generate_2d(state)
@@ -165,14 +184,14 @@ class PhotonMapping(ProgressiveIntegrator):
             beta = jnp.where(active[..., None], beta_new, beta)
             # RR on photon power
             q = jnp.clip(jnp.max(beta, axis=-1) / jnp.maximum(
-                jnp.max(ph_power[0], axis=-1), 1e-9), 0.05, 1.0)
+                jnp.max(beta0, axis=-1), 1e-9), 0.05, 1.0)
             kill = u_rr >= q
             beta = beta * jnp.where(kill, 0.0, 1.0 / q)[..., None]
             active = active & has_surface & (s["pdf"] > 0) & ~kill
             carry = (ray, beta, active, state, ph_p, ph_power, ph_wi, ph_valid)
 
         _, _, _, _, ph_p, ph_power, ph_wi, ph_valid = carry
-        m = depth_total * n
+        m = n_dep * n
         return (
             ph_p.reshape(m, 3),
             ph_power.reshape(m, c),
@@ -180,24 +199,85 @@ class PhotonMapping(ProgressiveIntegrator):
             ph_valid.reshape(m),
         )
 
-    # -------------------- grid build (sort-based) --------------------
-    def _build_grid(self, compiled, arrays, ph_p, ph_valid, radius):
+    # -------------------- grid build (sort + dense scatter) -----------
+    def _build_grid(self, compiled, arrays, photons, radius):
+        """Dense cell-row photon table.
+
+        Sort-not-gather doctrine: ONE multi-operand `lax.sort` co-sorts the
+        whole photon SoA by cell id (~1 ms at 327k — vs argsort + N row
+        gathers), ranks are derived with a cummax over run boundaries (no
+        searchsorted: measured 136 ns/lookup on TPU, it was the round-4
+        hot spot), and the <=budget survivors per cell are scattered once
+        into a dense (rows+1, budget*F) table whose rows are WHOLE CELLS.
+        Scatters of a few hundred k rows are ~3 ms on v5e (measured,
+        scratch/bench_photon_prims.py) — the expensive primitive is many
+        small gathers, not one big scatter.
+
+        Returns (cellrow, table): cellrow (g^3+1,) i32 maps cell id -> row
+        (-1 = empty), table row r holds budget packed photons
+        [px py pz wx wy wz power[c] flag] * budget; row `rows` is all-zero
+        (flag 0) and serves as the empty-cell target.
+        """
+        ph_p, ph_power, ph_wi, ph_valid = photons
         g = self.grid_res
+        g3 = g * g * g
+        m = ph_p.shape[0]
+        c = ph_power.shape[-1]
+        budget = self.cell_budget
+        rows = self.table_rows
         wmin = arrays["world_min"]
         wmax = arrays["world_max"]
         ext = jnp.maximum(wmax - wmin, 1e-6)
         cell = jnp.clip(((ph_p - wmin) / ext * g).astype(jnp.int32), 0, g - 1)
         cell_id = (cell[..., 0] * g + cell[..., 1]) * g + cell[..., 2]
-        cell_id = jnp.where(ph_valid, cell_id, g * g * g)  # invalid -> last
-        order = jnp.argsort(cell_id)
-        sorted_cells = cell_id[order]
-        # per-cell ranges via searchsorted over the sorted cell ids
-        return order, sorted_cells
+        cell_id = jnp.where(ph_valid, cell_id, g3)  # invalid -> sentinel
+
+        ops = (cell_id,
+               ph_p[:, 0], ph_p[:, 1], ph_p[:, 2],
+               ph_wi[:, 0], ph_wi[:, 1], ph_wi[:, 2],
+               *(ph_power[:, k] for k in range(c)))
+        sc, *pay = jax.lax.sort(ops, num_keys=1, is_stable=False)
+
+        iota = jnp.arange(m, dtype=jnp.int32)
+        boundary = jnp.concatenate(
+            [jnp.ones((1,), bool), sc[1:] != sc[:-1]]
+        )
+        run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
+        rank = iota - run_start
+        keep = (rank < budget) & (sc < g3)
+        # row index = number of distinct kept cells before this one
+        newcell = boundary & (sc < g3)
+        rowidx = jnp.cumsum(newcell.astype(jnp.int32)) - 1
+        ok = keep & (rowidx < rows)
+
+        # dense cell -> row map (writes masked to the sentinel slot g3,
+        # which no in-range query cell id ever reads)
+        cellrow = jnp.full((g3 + 1,), -1, jnp.int32)
+        cellrow = cellrow.at[
+            jnp.where(newcell & (rowidx < rows), sc, g3 + 1)
+        ].set(rowidx, mode="drop")
+
+        # (a merge-sort placement — two big multi-operand sorts instead of
+        # the scatter — was tried here and is far SLOWER: multi-operand
+        # sorts at 1.4M elements pay ~440 comparator passes over all
+        # operands; the 327k-row scatter at ~45 ns/row wins)
+        f = 7 + c  # px py pz wx wy wz power[c] flag
+        payload = jnp.stack(pay + [jnp.ones((m,), jnp.float32)], axis=-1)
+        slot = jnp.where(ok, rowidx * budget + rank, rows * budget + budget)
+        table = jnp.zeros(((rows + 1) * budget, f), jnp.float32)
+        table = table.at[slot].set(payload, mode="drop")
+        # scatter photon-major (contiguous f-wide rows per photon), then ONE
+        # dense transpose to FIELD-major cell rows [f][budget]: the gather
+        # consumer then slices each field as a contiguous (.., budget)-lane
+        # block with zero relayout (the photon-major layout cost ~35 ms of
+        # strided slicing per camera pass)
+        table = table.reshape(rows + 1, budget, f).transpose(0, 2, 1)
+        return cellrow, table.reshape(rows + 1, f * budget)
 
     # -------------------- camera pass --------------------
     def _camera_pass(
         self, compiled, arrays, camera, pixel_xy, sample_index,
-        photons, grid, radius, n_emitted,
+        grid, radius, n_emitted,
     ):
         sampler = self.sampler
         light_sampler = self.light_sampler
@@ -207,9 +287,6 @@ class PhotonMapping(ProgressiveIntegrator):
         geom = compiled.trace_geometry(arrays)
         n = pixel_xy.shape[0]
         c = plan.spectral_dim
-        ph_p, ph_power, ph_wi, ph_valid = photons
-        order, sorted_cells = grid
-        g = self.grid_res
 
         state = sampler.start(pixel_xy, sample_index)
         state, u_filter = sampler.generate_pixel_2d(state)
@@ -228,8 +305,15 @@ class PhotonMapping(ProgressiveIntegrator):
         pdf_bsdf = jnp.full((n,), 1e16, jnp.float32)
         eta_scale = jnp.ones((n,), jnp.float32)
         gathered = jnp.zeros((n,), bool)  # gathered already -> stop
+        # latched gather point: position, shading normal, beta*albedo/pi
+        gp_p = jnp.zeros((n, 3), jnp.float32)
+        gp_ns = jnp.zeros((n, 3), jnp.float32)
+        gp_coef = jnp.zeros((n, c), jnp.float32)
 
-        # fixed small loop: a few bounces to reach the first diffuse surface
+        # fixed small loop: a few bounces to reach the first diffuse
+        # surface; the photon gather itself runs ONCE after the loop on the
+        # latched point (the round-4 form gathered inside every bounce —
+        # 4x the cost for identical output)
         for d in range(min(self.max_depth, 4)):
             hit = traverse.trace_closest(geom, ray)
             it = surface_interaction(arrays, hit, ray, needs_uv=plan.needs_uv)
@@ -261,88 +345,91 @@ class PhotonMapping(ProgressiveIntegrator):
                 L, ray, beta, pdf_bsdf, eta_scale, active,
                 jnp.int32(0), (u_sel, u_light, u_lobe, u_bsdf),
             )
-            # gather photons at diffuse-ish hits (roughness > .3 proxy)
+            # latch the gather point at diffuse-ish hits (roughness > .3)
             rough = surf_base.dispatch(
                 ctx, it, "roughness", init=jnp.ones((n, 2), jnp.float32)
             )
             diffuse_here = active & (jnp.max(rough, -1) > 0.3) & ~gathered
-            L = L + jnp.where(
-                diffuse_here[..., None],
-                self._gather(
-                    compiled, arrays, it, wo, swl, beta,
-                    photons, grid, radius, n_emitted,
-                ),
-                0.0,
+            albedo = surf_base.dispatch(
+                ctx, it, "albedo", swl, init=jnp.zeros((n, c), jnp.float32)
             )
+            m3 = diffuse_here[..., None]
+            gp_p = jnp.where(m3, it.p, gp_p)
+            gp_ns = jnp.where(m3, it.ns, gp_ns)
+            gp_coef = jnp.where(m3, beta * albedo * (1.0 / np.pi), gp_coef)
             gathered = gathered | diffuse_here
             active = active & shade_ok & ~gathered
             ray, beta, pdf_bsdf, eta_scale = ray2, beta2, pdf2, eta2
 
+        L = L + self._gather(
+            arrays, gp_p, gp_ns, gp_coef, gathered, grid, radius, n_emitted
+        )
         return spectrum.srgb(L, swl), jnp.ones((n,), jnp.float32)
 
-    def _gather(
-        self, compiled, arrays, it, wo, swl, beta, photons, grid, radius, n_emitted
-    ):
-        """Density-estimate indirect radiance from the photon map at it.p.
+    def _gather(self, arrays, gp_p, gp_ns, gp_coef, gp_valid, grid, radius,
+                n_emitted):
+        """Density-estimate indirect radiance at the latched gather points.
 
-        The gather BSDF is the diffuse albedo/pi (gather points are selected
-        to be diffuse-dominant; the reference evaluates the full closure but
-        the diffuse term dominates at gather points). The 27-neighborhood x
-        per-cell-budget scan is ONE lax.fori_loop body, not an unrolled
-        Python loop, to keep the compiled program small."""
-        ph_p, ph_power, ph_wi, ph_valid = photons
-        order, sorted_cells = grid
+        The gather BSDF is the diffuse albedo/pi (folded into gp_coef at
+        latch time; gather points are selected to be diffuse-dominant — the
+        reference evaluates the full closure but the diffuse term dominates
+        at gather points). The fetch is ONE (n*27)-row gather of whole
+        cell rows from the dense photon table: measured on v5e
+        (scratch/bench_photon_prims.py), big-row gathers run at ~50 GB/s
+        while the previous searchsorted-per-neighbor-cell loop cost
+        136 ns/lookup x 27 cells x 4 unrolled bounces (~2.3 s/iteration
+        at 128^2)."""
+        cellrow, table = grid
         g = self.grid_res
-        n = it.p.shape[0]
-        c = ph_power.shape[-1]
-        ctx = compiled.context(arrays)
+        n = gp_p.shape[0]
+        c = gp_coef.shape[-1]
+        budget = self.cell_budget
+        f = 7 + c
+        rows = self.table_rows
         wmin = arrays["world_min"]
         ext = jnp.maximum(arrays["world_max"] - wmin, 1e-6)
-        base_cell = jnp.clip(((it.p - wmin) / ext * g).astype(jnp.int32), 0, g - 1)
-        albedo = surf_base.dispatch(
-            ctx, it, "albedo", swl, init=jnp.zeros((n, c), jnp.float32)
+        base_cell = jnp.clip(
+            ((gp_p - wmin) / ext * g).astype(jnp.int32), 0, g - 1
         )
-        kd_over_pi = albedo * (1.0 / np.pi)
-
         r2 = radius * radius
-        budget = self.cell_budget
         offsets = jnp.asarray(
             [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
              for dz in (-1, 0, 1)],
             jnp.int32,
         )
 
-        def body(cell_i, total):
-            # whole per-cell BUDGET in ONE slot matrix: XLA gathers have a
-            # large PER-CALL cost, and the previous per-(cell, k) loop made
-            # 27*budget*4 of them per bounce (~8 s/iteration at 128^2); one
-            # (n, budget) gather per array per cell is 27*4 calls total
-            cc = jnp.clip(base_cell + offsets[cell_i], 0, g - 1)
-            cid = (cc[..., 0] * g + cc[..., 1]) * g + cc[..., 2]
-            start = jnp.searchsorted(sorted_cells, cid)
-            slots = jnp.clip(
-                start[:, None] + jnp.arange(budget, dtype=jnp.int32),
-                0, order.shape[0] - 1,
-            )  # (n, budget)
-            in_cell = sorted_cells[slots] == cid[:, None]
-            pi = order[slots]
-            d2 = jnp.sum((ph_p[pi] - it.p[:, None, :]) ** 2, axis=-1)
-            # photon must arrive on the shading side
-            front = jnp.sum(ph_wi[pi] * it.ns[:, None, :], axis=-1) > 0.0
-            ok = (
-                in_cell & ph_valid[pi] & (d2 < r2) & front
-                & it.valid[:, None]
-            )
-            cell_sum = jnp.sum(
-                jnp.where(ok[..., None], ph_power[pi], 0.0), axis=1
-            )
-            return total + beta * kd_over_pi * cell_sum
-
-        total = jax.lax.fori_loop(
-            0, 27, body, jnp.zeros((n, c), jnp.float32)
+        cc = base_cell[:, None, :] + offsets[None]
+        # neighbors outside the grid read the empty row (the round-4 code
+        # clipped them, aliasing edge cells and double-counting photons at
+        # the world-AABB faces)
+        in_grid = jnp.all((cc >= 0) & (cc < g), axis=-1)
+        cc = jnp.clip(cc, 0, g - 1)
+        cid = (cc[..., 0] * g + cc[..., 1]) * g + cc[..., 2]  # (n, 27)
+        row = cellrow[cid]  # (n, 27) dense 1-D lookup
+        row = jnp.where((row < 0) | ~in_grid, rows, row)  # empty -> zero row
+        cells = table[row.reshape(-1)]  # (n*27, f*budget) whole-cell rows
+        # field-major rows: ph[:, k, :] is a contiguous (n*27, budget) slice
+        ph = cells.reshape(n * 27, f, budget)
+        qp = gp_p[:, None, :].repeat(27, 1).reshape(n * 27, 3)
+        qn = gp_ns[:, None, :].repeat(27, 1).reshape(n * 27, 3)
+        d2 = (
+            (ph[:, 0] - qp[:, 0:1]) ** 2
+            + (ph[:, 1] - qp[:, 1:2]) ** 2
+            + (ph[:, 2] - qp[:, 2:3]) ** 2
         )
+        front = (
+            ph[:, 3] * qn[:, 0:1] + ph[:, 4] * qn[:, 1:2]
+            + ph[:, 5] * qn[:, 2:3]
+        ) > 0.0
+        ok = (ph[:, 6 + c] > 0.0) & (d2 < r2) & front
+        w = jnp.where(ok, 1.0, 0.0)
+        total = jnp.stack(
+            [jnp.sum(ph[:, 6 + k] * w, axis=-1) for k in range(c)], axis=-1
+        ).reshape(n, 27, c).sum(axis=1)
         norm = 1.0 / (np.pi * r2 * n_emitted)
-        return total * norm
+        return jnp.where(
+            gp_valid[..., None], gp_coef * total * norm, 0.0
+        )
 
     # -------------------- driver --------------------
     def _render_one_camera(self, compiled, camera):
@@ -375,13 +462,11 @@ class PhotonMapping(ProgressiveIntegrator):
             @partial(jax.jit, donate_argnums=(1,))
             def iteration(arrays, accum, i, radius):
                 photons = self._emit_photons(compiled, arrays, i)
-                grid = self._build_grid(
-                    compiled, arrays, photons[0], photons[3], radius
-                )
+                grid = self._build_grid(compiled, arrays, photons, radius)
                 n_emitted = jnp.float32(self.photons_per_iter)
                 rgb, weight = self._camera_pass(
                     compiled, arrays, camera, pixel_xy, i,
-                    photons, grid, radius, n_emitted,
+                    grid, radius, n_emitted,
                 )
                 return film.accumulate_image(
                     accum, rgb.reshape(h, w, 3), weight.reshape(h, w)

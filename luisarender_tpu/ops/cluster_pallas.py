@@ -79,6 +79,14 @@ assert BLOCK > 0 and BLOCK % 128 == 0, "LR_CLUSTER_BLOCK must be a positive mult
 SUB = BLOCK // 128
 K_CHUNK = int(_os.environ.get("LR_CLUSTER_KCHUNK", 8))  # DMA pipeline depth
 assert K_CHUNK >= 1, "LR_CLUSTER_KCHUNK must be >= 1"
+# Phase-B ray-group gating: split the BLOCK into NGROUPS sublane groups and
+# run the unrolled MT sweep per group under a lax.cond on that group's own
+# slab test — bounce-wave packets often hit a cluster with only half the
+# block, and a skipped (8,128) group halves that entry's VPU work. Vector
+# ops are vreg-granular ((8,128)), so groups below 8 sublanes save nothing.
+GROUPS = int(_os.environ.get("LR_CLUSTER_GROUPS", 1))
+assert GROUPS >= 1 and SUB % GROUPS == 0 and (SUB // GROUPS) % 8 == 0 or GROUPS == 1, \
+    "LR_CLUSTER_GROUPS must divide BLOCK/128 into multiples of 8 sublanes"
 STACK_DEPTH = 64  # complete-binary-tree depth bound (<= 2^26 clusters) + slack
 TRI_COLS = 16  # v0.xyz e1.xyz e2.xyz valid opaque slot pad...
 NODE_COLS = 8  # min.xyz max.xyz right/-1 first/-1
@@ -91,34 +99,94 @@ _BIG = 3.0e38
 # ---------------------------------------------------------------------------
 
 
+PACK_LEAF = 8  # SAH granularity before cluster packing (see below)
+
+
 def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     """Build (node_table (N,8) f32, tri_table (P,16) f32) numpy arrays.
 
     positions (V,3) f32; triangles (T,3) i32; opaque_orig (T,) bool;
     canon_of_orig (T,) i32 = canonical sorted slot (the index into the
     shade table / 'trace' arrays) of each ORIGINAL triangle id.
+
+    Cluster packing (round 5): SAH leaves at CLUSTER=128 granularity fill
+    only 65% of their blocks on the 512k-tri bench scene, so 35% of every
+    Phase-B Möller-Trumbore sweep tested padding. Instead the SAH tree is
+    built at fine granularity (leaf_size=8), its pre-order leaf runs are
+    first-fit packed into near-full <=128-tri clusters (fill ~0.97 — runs
+    of consecutive pre-order leaves are spatially coherent by construction),
+    and the COARSE tree is a second SAH build over one degenerate triangle
+    per cluster whose AABB equals the cluster's bounds. Fewer, fuller
+    clusters = proportionally fewer speculative pair tests (the measured
+    Phase-B wall, PERF.md round-4 final).
     """
     from ..accel.bvh import build_bvh
     from ..accel.native import build_bvh_sah
 
     positions = np.asarray(positions, np.float32)
     triangles = np.asarray(triangles, np.int32)
-    # binned-SAH tree (tight variable-fill leaves => fewer clusters entered
-    # per packet, and better front-to-back order for best_t pruning); numpy
-    # Morton builder as fallback when the native toolchain is unavailable
-    bvh = build_bvh_sah(positions, triangles, leaf_size=CLUSTER)
+    bvh = build_bvh_sah(positions, triangles, leaf_size=PACK_LEAF)
     if bvh is None:
-        bvh = build_bvh(positions, triangles, leaf_size=CLUSTER)
+        bvh = build_bvh(positions, triangles, leaf_size=PACK_LEAF)
 
-    # one padded 128-tri block per leaf, in leaf (pre-)order
+    # ---- pack pre-order leaf runs into tight clusters.
+    # Greedy fill alone regressed BOUNCE waves on the 512k scene: packing
+    # across subtree gaps fattens cluster AABBs, and the speculative union
+    # of an incoherent packet grew ~1.5x — cancelling the fill win. The
+    # surface-area guard closes a cluster early (once half full) rather
+    # than absorb a leaf that would inflate its box.
+    grow = float(_os.environ.get("LR_PACK_GROW", 1.7))
+    min_fill = int(_os.environ.get("LR_PACK_MINFILL", CLUSTER // 2))
+    tmin = np.minimum(
+        np.minimum(positions[triangles[:, 0]], positions[triangles[:, 1]]),
+        positions[triangles[:, 2]],
+    )
+    tmax = np.maximum(
+        np.maximum(positions[triangles[:, 0]], positions[triangles[:, 1]]),
+        positions[triangles[:, 2]],
+    )
+
+    def _sa(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
     is_leaf = bvh.node_count > 0
-    leaf_ids = np.nonzero(is_leaf)[0]
+    leaf_ids = np.nonzero(is_leaf)[0]  # pre-order
     prim = bvh.prim_index
-    order = np.full((leaf_ids.size, CLUSTER), -1, np.int32)
-    for bi, nid in enumerate(leaf_ids):
+    clusters: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+    cur_n = 0
+    cur_lo = cur_hi = None
+    for nid in leaf_ids:
         f = int(bvh.node_first[nid])
         c = int(bvh.node_count[nid])
-        order[bi, :c] = prim[f:f + c]
+        ids = prim[f:f + c]
+        ids = ids[ids >= 0]
+        if ids.size == 0:
+            continue
+        lo = tmin[ids].min(0)
+        hi = tmax[ids].max(0)
+        close = cur_n + ids.size > CLUSTER
+        if not close and cur_n >= min_fill:
+            mlo = np.minimum(cur_lo, lo)
+            mhi = np.maximum(cur_hi, hi)
+            close = _sa(mlo, mhi) > grow * _sa(cur_lo, cur_hi)
+        if close and cur_n > 0:
+            clusters.append(np.concatenate(cur))
+            cur, cur_n, cur_lo, cur_hi = [], 0, None, None
+        cur.append(ids)
+        cur_n += ids.size
+        if cur_lo is None:
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_lo = np.minimum(cur_lo, lo)
+            cur_hi = np.maximum(cur_hi, hi)
+    if cur_n:
+        clusters.append(np.concatenate(cur))
+
+    order = np.full((len(clusters), CLUSTER), -1, np.int32)
+    for bi, ids in enumerate(clusters):
+        order[bi, :ids.size] = ids
     order = order.reshape(-1)
     p = order.shape[0]
     valid = order >= 0
@@ -145,10 +213,28 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
         tri.reshape(p // CLUSTER, CLUSTER, TRI_COLS).transpose(0, 2, 1)
     )
 
-    n = bvh.aabb_min.shape[0]
+    # ---- coarse tree: SAH over one degenerate triangle per cluster whose
+    # AABB equals the cluster bounds (the binned-SAH builder only looks at
+    # primitive AABBs, so this IS an SAH build over the cluster boxes)
+    vmin = np.minimum(np.minimum(v0, v1), v2)
+    vmax = np.maximum(np.maximum(v0, v1), v2)
+    big = np.float32(_BIG)
+    vmin = np.where(valid[:, None], vmin, big).reshape(-1, CLUSTER, 3).min(1)
+    vmax = np.where(valid[:, None], vmax, -big).reshape(-1, CLUSTER, 3).max(1)
+    ncl = vmin.shape[0]
+    bverts = np.empty((3 * ncl, 3), np.float32)
+    bverts[0::3] = vmin
+    bverts[1::3] = vmax
+    bverts[2::3] = np.stack([vmin[:, 0], vmax[:, 1], vmin[:, 2]], axis=-1)
+    btris = np.arange(3 * ncl, dtype=np.int32).reshape(ncl, 3)
+    cb = build_bvh_sah(bverts, btris, leaf_size=1)
+    if cb is None:
+        cb = build_bvh(bverts, btris, leaf_size=1)
+
+    n = cb.aabb_min.shape[0]
     node = np.zeros((n, NODE_COLS), np.float32)
-    node[:, 0:3] = bvh.aabb_min
-    node[:, 3:6] = bvh.aabb_max
+    node[:, 0:3] = cb.aabb_min
+    node[:, 3:6] = cb.aabb_max
     # interior: col 6 = right child = skip[node+1] (the left child's skip
     # link points past the left subtree, i.e. at the right child); leaf: -1.
     # The FRACTION of col 6 encodes the near-child-first traversal hint:
@@ -156,10 +242,11 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     # lies on the HIGH side of that axis — the kernel picks the near child
     # from the packet's mean-direction sign with zero extra node reads
     # (exact for < 2^20 nodes in f32).
+    is_leaf_c = cb.node_count > 0
     right = np.full(n, -1.0, np.float32)
-    interior = np.nonzero(~is_leaf)[0]
+    interior = np.nonzero(~is_leaf_c)[0]
     if interior.size:
-        right_i = bvh.skip[interior + 1]
+        right_i = cb.skip[interior + 1]
         right[interior] = right_i
         # near-child-first hint in the fraction: only exact while
         # right + 0.9375 rounds to itself in f32, i.e. right < 2^20 —
@@ -169,17 +256,24 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
         # axis/left_high decode then reads 0 (ordering noise only).
         if n < (1 << 20):
             left_i = interior + 1
-            c_l = 0.5 * (bvh.aabb_min[left_i] + bvh.aabb_max[left_i])
-            c_r = 0.5 * (bvh.aabb_min[right_i] + bvh.aabb_max[right_i])
+            c_l = 0.5 * (cb.aabb_min[left_i] + cb.aabb_max[left_i])
+            c_r = 0.5 * (cb.aabb_min[right_i] + cb.aabb_max[right_i])
             sep = c_r - c_l
             axis = np.argmax(np.abs(sep), axis=-1)
             left_high = np.take_along_axis(sep, axis[:, None], axis=-1)[:, 0] < 0.0
             right[interior] += axis * 0.25 + left_high * 0.0625
     node[:, 6] = right
-    # leaf payload = block index (leaf rank in pre-order); -1 for interior
-    node[:, 7] = np.where(is_leaf, np.cumsum(is_leaf) - 1, -1).astype(
-        np.float32
-    )
+    # leaf payload = CLUSTER id carried through the coarse build's prim
+    # order; -1 for interior (and for the Morton fallback's padded leaves,
+    # whose empty boxes also never pass the slab test)
+    leaf_pid = np.full(n, -1, np.int64)
+    lf = np.nonzero(is_leaf_c)[0]
+    if lf.size:
+        leaf_pid[lf] = cb.prim_index[cb.node_first[lf]]
+        empty = lf[leaf_pid[lf] < 0]
+        node[empty, 0:3] = _BIG
+        node[empty, 3:6] = -_BIG
+    node[:, 7] = leaf_pid.astype(np.float32)
     # pad node rows to a lane multiple for the one-hot fetch
     n_pad = (-n) % 128
     if n_pad:
@@ -356,7 +450,6 @@ def _traverse_kernel(
             # re-test the leaf AABB against the CURRENT best_t (phase-A
             # collection used the pre-chunk best) — skip pruned clusters
             row = read_node(leaf_node_ref[j])
-            alive = jnp.any(_slab(row, ox, oy, oz, ix, iy, iz, t_min, best_t))
 
             # stage into a statically-addressed scratch so the unrolled loop
             # reads compile-time scalar addresses (brute_pallas pattern);
@@ -368,41 +461,74 @@ def _traverse_kernel(
                 def _(k=k):
                     work_ref[:] = buf_ref[k]
 
-            def do_tests(carry):
-                best_t, best_s, best_u, best_v = carry
-                for jj in range(CLUSTER):
-                    v0x, v0y, v0z = work_ref[0, jj], work_ref[1, jj], work_ref[2, jj]
-                    e1x, e1y, e1z = work_ref[3, jj], work_ref[4, jj], work_ref[5, jj]
-                    e2x, e2y, e2z = work_ref[6, jj], work_ref[7, jj], work_ref[8, jj]
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = (
-                        (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                        & (work_ref[9, jj] > 0.0)
-                        & (t > t_min) & (t < best_t)
-                    )
-                    if opaque_only:
-                        ok &= work_ref[10, jj] > 0.0
-                    sl = work_ref[11, jj].astype(jnp.int32)
-                    best_t = jnp.where(ok, t, best_t)
-                    best_s = jnp.where(ok, sl, best_s)
-                    best_u = jnp.where(ok, u, best_u)
-                    best_v = jnp.where(ok, v, best_v)
-                return best_t, best_s, best_u, best_v
+            def mt_sweep(oxg, oyg, ozg, dxg, dyg, dzg, tmin_g):
+                def do_tests(carry_g):
+                    best_t, best_s, best_u, best_v = carry_g
+                    for jj in range(CLUSTER):
+                        v0x, v0y, v0z = work_ref[0, jj], work_ref[1, jj], work_ref[2, jj]
+                        e1x, e1y, e1z = work_ref[3, jj], work_ref[4, jj], work_ref[5, jj]
+                        e2x, e2y, e2z = work_ref[6, jj], work_ref[7, jj], work_ref[8, jj]
+                        px = dyg * e2z - dzg * e2y
+                        py = dzg * e2x - dxg * e2z
+                        pz = dxg * e2y - dyg * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                        tx = oxg - v0x
+                        ty = oyg - v0y
+                        tz = ozg - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (dxg * qx + dyg * qy + dzg * qz) * inv_det
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        ok = (
+                            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                            & (work_ref[9, jj] > 0.0)
+                            & (t > tmin_g) & (t < best_t)
+                        )
+                        if opaque_only:
+                            ok &= work_ref[10, jj] > 0.0
+                        sl = work_ref[11, jj].astype(jnp.int32)
+                        best_t = jnp.where(ok, t, best_t)
+                        best_s = jnp.where(ok, sl, best_s)
+                        best_u = jnp.where(ok, u, best_u)
+                        best_v = jnp.where(ok, v, best_v)
+                    return best_t, best_s, best_u, best_v
+                return do_tests
 
-            return jax.lax.cond(alive, do_tests, lambda c: c, carry)
+            if GROUPS == 1:
+                alive = jnp.any(
+                    _slab(row, ox, oy, oz, ix, iy, iz, t_min, best_t)
+                )
+                return jax.lax.cond(
+                    alive, mt_sweep(ox, oy, oz, dx, dy, dz, t_min),
+                    lambda c: c, carry,
+                )
+
+            # per-group gating: each sublane group re-tests the leaf slab
+            # against ITS OWN best_t window and skips the whole MT sweep
+            # when no lane of the group hits (bounce packets: ~40% of
+            # (group, cluster) pairs miss)
+            g_sub = ox.shape[0] // GROUPS
+            outs = []
+            for g in range(GROUPS):
+                s = slice(g * g_sub, (g + 1) * g_sub)
+                a_g = jnp.any(
+                    _slab(row, ox[s], oy[s], oz[s], ix[s], iy[s], iz[s],
+                          t_min[s], best_t[s])
+                )
+                outs.append(jax.lax.cond(
+                    a_g,
+                    mt_sweep(ox[s], oy[s], oz[s], dx[s], dy[s], dz[s],
+                             t_min[s]),
+                    lambda c: c,
+                    (best_t[s], best_s[s], best_u[s], best_v[s]),
+                ))
+            return tuple(
+                jnp.concatenate([o[i] for o in outs], axis=0)
+                for i in range(4)
+            )
 
         best_t, best_s, best_u, best_v = jax.lax.fori_loop(
             0, nl, b_body, (best_t, best_s, best_u, best_v)

@@ -999,6 +999,8 @@ class SceneCompiler:
         elif sph_table is not None:
             arrays["trace"]["sph"] = jnp.asarray(sph_table)
         if not two_level and cluster_tables is not None:
+            from ..ops import subpacket_pallas as _sp
+            from ..ops import wide8_pallas as _w8
             from ..ops.subpacket_pallas import (
                 MAX_SLAB8_NODES,
                 build_bvh8,
@@ -1008,8 +1010,13 @@ class SceneCompiler:
 
             arrays["trace"]["cluster_nodes"] = jnp.asarray(cluster_tables[0])
             arrays["trace"]["cluster_tris"] = jnp.asarray(cluster_tables[1])
-            table8 = build_bvh8(cluster_tables[0])
-            if table8.shape[0] <= MAX_SLAB8_NODES:
+            # The BVH8/Woop tables only feed the opt-in experimental tracers
+            # (LR_SUBPACKET / LR_WIDE8); cluster_woop alone is ~4x the
+            # tri-table HBM footprint, so default renders skip the build
+            # (ADVICE r4).
+            want_wide_tables = _sp.ENABLED or _w8.ENABLED
+            table8 = build_bvh8(cluster_tables[0]) if want_wide_tables else None
+            if table8 is not None and table8.shape[0] <= MAX_SLAB8_NODES:
                 from ..ops.wide8_pallas import build_cluster_boxes
 
                 slab8, meta8 = build_slab_meta(table8)

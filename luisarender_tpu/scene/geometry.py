@@ -238,17 +238,23 @@ def surface_interaction(
     # its Woop-transform u/v are algebraically rearranged vs MT, so exact
     # barycentrics are recomputed HERE from the winner's shade row (v0/e1/e2
     # already fetched — zero extra gathers) instead of extracted per cluster
-    # in the kernel (~120 cycles/cluster saved).
-    from ..accel.traverse import intersect_tri
+    # in the kernel (~120 cycles/cluster saved). The recompute is only
+    # emitted when that opt-in tracer is active (static Python branch) so
+    # the default cluster/brute tracers, whose bary is already exact, don't
+    # pay an extra Moller-Trumbore per ray (ADVICE r4).
+    from ..ops import subpacket_pallas as _sp
 
-    recomp = jnp.isnan(u)
-    mt_valid, _, u_mt, v_mt = intersect_tri(
-        ray.origin, ray.direction,
-        row[..., 0:3], row[..., 3:6], row[..., 6:9],
-    )
-    keep = recomp & valid & mt_valid
-    u = jnp.where(recomp, jnp.where(keep, u_mt, 0.0), u)
-    v = jnp.where(recomp, jnp.where(keep, v_mt, 0.0), v)
+    if _sp.ENABLED:
+        from ..accel.traverse import intersect_tri
+
+        recomp = jnp.isnan(u)
+        mt_valid, _, u_mt, v_mt = intersect_tri(
+            ray.origin, ray.direction,
+            row[..., 0:3], row[..., 3:6], row[..., 6:9],
+        )
+        keep = recomp & valid & mt_valid
+        u = jnp.where(recomp, jnp.where(keep, u_mt, 0.0), u)
+        v = jnp.where(recomp, jnp.where(keep, v_mt, 0.0), v)
     w = 1.0 - u - v
     # p = (1-u-v) p0 + u p1 + v p2 = v0 + u e1 + v e2
     p = row[..., 0:3] + u[..., None] * row[..., 3:6] + v[..., None] * row[..., 6:9]

@@ -174,7 +174,9 @@ def run_block(node_table, tri_table, o, d, t_min, t_max, block, sort=True):
     n = o.shape[0]
     sub = block // 128
     if sort:
-        key = cp._coherence_keys(o, d, t_min, t_max, node_table)
+        _lo = node_table[0, 0:3]
+        _ext = node_table[0, 3:6] - _lo
+        key = cp._coherence_keys(o, d, t_min, t_max, _lo, _ext)
         iota = jnp.arange(n, dtype=jnp.int32)
         (_, ox_, oy_, oz_, dx_, dy_, dz_, t_min, t_max, orig) = jax.lax.sort(
             (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_min, t_max, iota),

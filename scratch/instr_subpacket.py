@@ -172,7 +172,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
 
 def trace_counts(o, d, t_min, t_max):
     n = o.shape[0]
-    key = _coherence_keys(o, d, t_min, t_max, node_table)
+    _lo = node_table[0, 0:3]
+    _ext = node_table[0, 3:6] - _lo
+    key = _coherence_keys(o, d, t_min, t_max, _lo, _ext)
     iota = jnp.arange(n, dtype=jnp.int32)
     (_, ox, oy, oz, dx, dy, dz, t_min, t_max, orig) = jax.lax.sort(
         (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],

@@ -121,11 +121,16 @@ def test_cluster_any_matches_brute():
     assert np.array_equal(ref, new)
 
 
-def test_compiler_attaches_cluster_tables():
+def test_compiler_attaches_cluster_tables(monkeypatch):
     """Scenes above the brute-force threshold get cluster tables; the
-    canonical-slot column round-trips through the sorted order."""
+    canonical-slot column round-trips through the sorted order. The
+    BVH8/Woop side tables only ride along when an experimental tracer is
+    enabled (default renders skip the ~4x-footprint build, ADVICE r4)."""
     import luisarender_tpu as lr
     from luisarender_tpu import testing
+    from luisarender_tpu.ops import subpacket_pallas as _sp_mod
+
+    monkeypatch.setattr(_sp_mod, "ENABLED", True)
 
     d = testing.cornell_box(resolution=(16, 16), spp=1)
     # add a subdivided sphere to push past BRUTE_FORCE_MAX_TRIS
