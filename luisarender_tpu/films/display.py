@@ -2,9 +2,12 @@
 
 TPU-native equivalent of /root/reference/src/films/display.cpp:16-95 — a
 decorator film around `color` with tone mapping (none/uncharted2/aces) and
-exposure. The reference opens a swapchain window; in this headless
-environment the preview is a PNG written after every accumulation pass
-(target_fps/vsync become a minimum wall-clock interval between writes).
+exposure. The reference opens a swapchain window; here the
+preview is (a) a PNG written after accumulation passes and (b), with
+`serve: true`, a live HTTP viewer (films/live_server.py) any browser can
+watch during the render — the headless-pod equivalent of the reference's
+swapchain present (target_fps/vsync become a minimum wall-clock interval
+between frames).
 """
 
 from __future__ import annotations
@@ -37,10 +40,21 @@ class DisplayFilm(ColorFilm):
         self.min_interval = 1.0 / max(target_fps, 1e-3)
         self.hdr = desc.bool("hdr", False)
         self._last_preview = 0.0
+        self._spp_seen = 0
+        self._server = None
+        if desc.bool("serve", False):
+            from .live_server import LiveServer
+
+            self._server = LiveServer(port=desc.int("port", 8090))
+            print(
+                f"[display] live viewer: http://localhost:{self._server.port}/",
+                flush=True,
+            )
 
     def maybe_preview(self, accum):
         """Called between passes by the host progressive loop (accumulation
         itself runs under jit and cannot do IO)."""
+        self._spp_seen += 1
         now = time.time()
         if now - self._last_preview >= self.min_interval:
             self._last_preview = now
@@ -51,6 +65,13 @@ class DisplayFilm(ColorFilm):
         mapped = np.asarray(
             colorspace.TONEMAP_OPERATORS[self.tonemap](jnp.asarray(img))
         )
+        if self._server is not None:
+            self._server.push(
+                imageio.png_bytes(
+                    np.asarray(colorspace.srgb_encode(jnp.asarray(mapped)))
+                ),
+                spp=self._spp_seen,
+            )
         if self.hdr:
             imageio.save_exr(self.preview_file, mapped)
         else:

@@ -58,6 +58,7 @@ def path_trace_batch(
                 max_depth=max_depth, rr_depth=rr_depth,
                 rr_threshold=rr_threshold,
                 interpret=fused_path.FORCE_INTERPRET,
+                light_sampler=light_sampler,
             )
         else:
             state0 = sampler.start(pixel_xy, sample_index)
@@ -74,6 +75,7 @@ def path_trace_batch(
                 max_depth=max_depth, rr_depth=rr_depth,
                 rr_threshold=rr_threshold,
                 interpret=fused_path.FORCE_INTERPRET,
+                light_sampler=light_sampler,
             )
         weight = jnp.ones((n,), jnp.float32)
         if with_stats:
@@ -146,6 +148,9 @@ class MegakernelPathTracing(ProgressiveIntegrator):
             self.persistent
             and fused_path.use_fused(compiled, self.sampler, self.light_sampler)
             and fused_path.camgen_params(camera, self.render_time) is not None
+            # env scenes take the unrolled megapath (pre-sampled candidates
+            # need static per-bounce draw offsets; see fused_path)
+            and not getattr(compiled.plan, "has_environment", False)
         )
 
     def _render_one_camera(self, compiled, camera):

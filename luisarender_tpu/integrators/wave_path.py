@@ -273,7 +273,9 @@ class WavefrontPathTracing(ProgressiveIntegrator):
         accum = film.prepare()
         from ..ops import fused_path
 
-        if fused_path.use_fused(compiled, self.sampler, self.light_sampler):
+        if fused_path.use_fused(
+            compiled, self.sampler, self.light_sampler
+        ) and not getattr(compiled.plan, "has_environment", False):
             cam = fused_path.camgen_params(camera, self.render_time)
             if cam is not None:
                 # Fused-class scenes: the pool runs INSIDE the persistent

@@ -279,10 +279,19 @@ def build_fused_pack(
     has_media,
     two_level,
     n_spheres=0,
+    environment=None,
 ):
     """Returns {"inst_table": (NI,28), "entry_table": (NL,8)} numpy arrays if
     the scene qualifies for the fused path, else None."""
-    if two_level or has_environment or has_media or not all_opaque:
+    if two_level or has_media or not all_opaque:
+        return None
+    if has_environment and type(environment).__name__ not in (
+        "SphericalEnvironment", "DirectionalEnvironment"
+    ):
+        # environments ride the fused kernel via PRE-SAMPLED NEE candidates
+        # + a deferred miss pass (see _env_nee_candidates): the kernel
+        # itself never touches the alias tables, so only env types whose
+        # sample()/evaluate() run outside qualify (combined: not yet)
         return None
     if num_tris_padded > MAX_TRIS or n_spheres > MAX_SPHERES:
         return None
@@ -734,13 +743,25 @@ def _fused_kernel(
     *refs,
     tables, stypes, n_tri, n_sph, n_inst, n_entry, n_light_tri, max_depth,
     rr_depth, rr_threshold, p_light, unroll, cam=None, persist_spp=0,
+    p_env=0.0, env_distance=0.0, has_env=False,
 ):
     if cam is None:
         (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmin_r, tmax_r, beta0_r, st_r,
-         lr_o, lg_o, lb_o, nrays_o) = refs
+         *rest) = refs
     else:
-        (px_r, py_r, si_r,
-         lr_o, lg_o, lb_o, nrays_o) = refs
+        (px_r, py_r, si_r, *rest) = refs
+    if has_env:
+        # environment support: the kernel never touches env tables — NEE
+        # candidates arrive PRE-SAMPLED per (lane, bounce) (env_ref holds
+        # [wi.xyz, pdf*p_env, L.rgb] x max_depth), and escaped rays write
+        # (beta, pdf_bsdf, dir) for a deferred dense miss pass outside.
+        # This is the TPU shape of "bindless env sampling": hoist every
+        # table-dependent draw out of the VMEM-resident loop.
+        assert persist_spp == 0, "persistent mode is env-free (draw offsets)"
+        (env_ref, lr_o, lg_o, lb_o, nrays_o,
+         mbr_o, mbg_o, mbb_o, mpdf_o, mdx_o, mdy_o, mdz_o) = rest
+    else:
+        (lr_o, lg_o, lb_o, nrays_o) = rest
     # Scene-static tables baked as HOST numpy: every tri[j, c] below becomes
     # a float literal in the traced kernel (a vector immediate for Mosaic)
     # instead of a VMEM scalar load + lane broadcast. This is per-scene
@@ -819,8 +840,16 @@ def _fused_kernel(
     pdf_bsdf = zero + 1e16
     eta_scale = zero + 1.0
     nrays = jnp.zeros(ox.shape, jnp.int32)
+    if has_env:
+        mbr_o[0] = zero
+        mbg_o[0] = zero
+        mbb_o[0] = zero
+        mpdf_o[0] = zero
+        mdx_o[0] = zero
+        mdy_o[0] = zero
+        mdz_o[0] = zero + 1.0
 
-    def bounce(dep, carry):
+    def bounce(dep, carry, dep_i=None):
         # dep: per-lane f32 bounce depth (a constant vector in the unrolled
         # megapath; a live carry in the persistent megawave mode)
         (ox, oy, oz, dx, dy, dz, tmin, tmax, st,
@@ -970,6 +999,17 @@ def _fused_kernel(
         woy = -dy
         woz = -dz
         valid = hitv & active
+        if has_env:
+            # latch escape state for the deferred miss pass (a lane escapes
+            # at most once in the unrolled megapath: it goes inactive here)
+            miss_now = active & ~hitv
+            mbr_o[0] = jnp.where(miss_now, beta_r, mbr_o[0])
+            mbg_o[0] = jnp.where(miss_now, beta_g, mbg_o[0])
+            mbb_o[0] = jnp.where(miss_now, beta_b, mbb_o[0])
+            mpdf_o[0] = jnp.where(miss_now, pdf_bsdf, mpdf_o[0])
+            mdx_o[0] = jnp.where(miss_now, dx, mdx_o[0])
+            mdy_o[0] = jnp.where(miss_now, dy, mdy_o[0])
+            mdz_o[0] = jnp.where(miss_now, dz, mdz_o[0])
 
         # per-instance constants (v2 layout; only the columns the present
         # surface types need are selected)
@@ -1055,33 +1095,72 @@ def _fused_kernel(
         wo_dot_ns = _dot(wox, woy, woz, fnx, fny, fnz)
 
         # --- NEE ----------------------------------------------------------
-        if n_entry > 0:
-            u_rel = jnp.clip(u_sel, 0.0, _ONE_MINUS_EPS)
-            entry_f = jnp.minimum(
-                jnp.floor(u_rel * float(n_entry)), float(n_entry - 1)
-            )
-            al_off, tri_cnt, tot_area, el_r, el_g, el_b, el_2s = _select_row(
-                entry_t, entry_f, (0, 1, 2, 4, 5, 6, 7), n_entry)
-            # alias-table triangle pick (lights/diffuse.py _pick_triangle)
-            ux = u_l0 * tri_cnt
-            i0 = jnp.minimum(jnp.floor(ux), tri_cnt - 1.0)
-            i0 = jnp.maximum(i0, 0.0)
-            up = ux - i0
-            g0 = al_off + i0
-            prob0, alias0 = _select_row(light_t, g0, (18, 19), n_light_tri)
-            take_alias = up >= prob0
-            g = jnp.where(take_alias, al_off + alias0, g0)
-            (lv0x, lv0y, lv0z, le1x, le1y, le1z, le2x, le2y, le2z,
-             lngx, lngy, lngz) = _select_row(
-                light_t, g, (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
-                n_light_tri)
-            su = jnp.sqrt(jnp.maximum(up, 0.0))
-            b0 = 1.0 - su
-            b1 = u_l1 * su
-            b2 = 1.0 - b0 - b1
-            lpx = lv0x + b1 * le1x + b2 * le2x
-            lpy = lv0y + b1 * le1y + b2 * le2y
-            lpz = lv0z + b1 * le1z + b2 * le2z
+        if n_entry > 0 or has_env:
+            if has_env:
+                # pre-sampled env candidate for THIS bounce (see module doc)
+                if isinstance(dep_i, int):
+                    ev = [env_ref[0, dep_i * 7 + k] for k in range(7)]
+                else:  # interpret-mode fori_loop: dynamic depth index
+                    eb = env_ref[0]
+                    ev = [
+                        jax.lax.dynamic_index_in_dim(
+                            eb, dep_i * 7 + k, 0, keepdims=False
+                        )
+                        for k in range(7)
+                    ]
+                evx, evy, evz, ev_pdf, evl_r, evl_g, evl_b = ev
+                pick_env = u_sel < jnp.float32(p_env)
+            if n_entry > 0:
+                u_area = u_sel
+                if has_env:
+                    # uniform.py: map u in [p_env, 1) to light entries
+                    u_area = (u_sel - jnp.float32(p_env)) * jnp.float32(
+                        1.0 / max(1.0 - p_env, 1e-8)
+                    )
+                u_rel = jnp.clip(u_area, 0.0, _ONE_MINUS_EPS)
+                entry_f = jnp.minimum(
+                    jnp.floor(u_rel * float(n_entry)), float(n_entry - 1)
+                )
+                al_off, tri_cnt, tot_area, el_r, el_g, el_b, el_2s = _select_row(
+                    entry_t, entry_f, (0, 1, 2, 4, 5, 6, 7), n_entry)
+                # alias-table triangle pick (lights/diffuse.py _pick_triangle)
+                ux = u_l0 * tri_cnt
+                i0 = jnp.minimum(jnp.floor(ux), tri_cnt - 1.0)
+                i0 = jnp.maximum(i0, 0.0)
+                up = ux - i0
+                g0 = al_off + i0
+                prob0, alias0 = _select_row(light_t, g0, (18, 19), n_light_tri)
+                take_alias = up >= prob0
+                g = jnp.where(take_alias, al_off + alias0, g0)
+                (lv0x, lv0y, lv0z, le1x, le1y, le1z, le2x, le2y, le2z,
+                 lngx, lngy, lngz) = _select_row(
+                    light_t, g, (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+                    n_light_tri)
+                su = jnp.sqrt(jnp.maximum(up, 0.0))
+                b0 = 1.0 - su
+                b1 = u_l1 * su
+                b2 = 1.0 - b0 - b1
+                lpx = lv0x + b1 * le1x + b2 * le2x
+                lpy = lv0y + b1 * le1y + b2 * le2y
+                lpz = lv0z + b1 * le1z + b2 * le2z
+            else:
+                lngx = zero; lngy = zero; lngz = zero + 1.0
+                lpx = px; lpy = py; lpz = pz
+            if has_env:
+                # env target: far point along the candidate direction with
+                # ng = -wi (uniform.py sample: p = it.p + wi*env_distance)
+                lpx = jnp.where(
+                    pick_env, px + evx * jnp.float32(env_distance), lpx
+                )
+                lpy = jnp.where(
+                    pick_env, py + evy * jnp.float32(env_distance), lpy
+                )
+                lpz = jnp.where(
+                    pick_env, pz + evz * jnp.float32(env_distance), lpz
+                )
+                lngx = jnp.where(pick_env, -evx, lngx)
+                lngy = jnp.where(pick_env, -evy, lngy)
+                lngz = jnp.where(pick_env, -evz, lngz)
             # direction & pdf (lights/diffuse.py sample)
             wlx = lpx - px
             wly = lpy - py
@@ -1093,17 +1172,29 @@ def _fused_kernel(
             wix = wlx * inv_wl
             wiy = wly * inv_wl
             wiz = wlz * inv_wl
-            cos_ll = _dot(-wix, -wiy, -wiz, lngx, lngy, lngz)
-            lit_l = (cos_ll > 1e-6) | ((el_2s > 0.5) & (jnp.abs(cos_ll) > 1e-6))
-            d2l = wlx * wlx + wly * wly + wlz * wlz
-            pdf_nee = jnp.where(
-                lit_l,
-                d2l / jnp.maximum(jnp.abs(cos_ll) * tot_area, 1e-12),
-                0.0,
-            ) * jnp.float32(p_light)
-            Ln_r = jnp.where(lit_l, el_r, 0.0)
-            Ln_g = jnp.where(lit_l, el_g, 0.0)
-            Ln_b = jnp.where(lit_l, el_b, 0.0)
+            if n_entry > 0:
+                cos_ll = _dot(-wix, -wiy, -wiz, lngx, lngy, lngz)
+                lit_l = (cos_ll > 1e-6) | (
+                    (el_2s > 0.5) & (jnp.abs(cos_ll) > 1e-6)
+                )
+                d2l = wlx * wlx + wly * wly + wlz * wlz
+                pdf_nee = jnp.where(
+                    lit_l,
+                    d2l / jnp.maximum(jnp.abs(cos_ll) * tot_area, 1e-12),
+                    0.0,
+                ) * jnp.float32(p_light)
+                Ln_r = jnp.where(lit_l, el_r, 0.0)
+                Ln_g = jnp.where(lit_l, el_g, 0.0)
+                Ln_b = jnp.where(lit_l, el_b, 0.0)
+            else:
+                lit_l = zero > 1.0
+                pdf_nee = zero
+                Ln_r = zero; Ln_g = zero; Ln_b = zero
+            if has_env:
+                pdf_nee = jnp.where(pick_env, ev_pdf, pdf_nee)
+                Ln_r = jnp.where(pick_env, evl_r, Ln_r)
+                Ln_g = jnp.where(pick_env, evl_g, Ln_g)
+                Ln_b = jnp.where(pick_env, evl_b, Ln_b)
             pending = active & (pdf_nee > 0.0)
             nrays = nrays + pending.astype(jnp.int32)
 
@@ -1354,13 +1445,14 @@ def _fused_kernel(
         # static unroll: no loop-carried vregs to spill, and Mosaic hoists
         # the scalar triangle-table loads across bounces (238 vs 224 Mray/s)
         for i in range(max_depth):
-            carry = bounce(zero + float(i), carry)
+            carry = bounce(zero + float(i), carry, dep_i=i)
     else:
         # interpret mode traces the body once; unrolling would make the
         # CPU-interpret tests intractably slow
         carry = jax.lax.fori_loop(
             0, max_depth,
-            lambda i, c: bounce(zero + i.astype(jnp.float32), c), carry
+            lambda i, c: bounce(zero + i.astype(jnp.float32), c, dep_i=i),
+            carry,
         )
     (_, _, _, _, _, _, _, _, _,
      _, _, _, L_r, L_g, L_b, _, _, _, nrays) = carry
@@ -1457,11 +1549,51 @@ def _host_tables(compiled):
     return cached
 
 
+def _selection_p_env(compiled, light_sampler):
+    """Static env selection probability — uniform.py _selection_probs."""
+    if not getattr(compiled.plan, "has_environment", False):
+        return 0.0
+    if compiled.plan.num_lights > 0:
+        ep = float(getattr(light_sampler, "env_prob", 0.5))
+        return min(max(ep, 0.0), 1.0)
+    return 1.0
+
+
+def _env_nee_candidates(compiled, arrays, state, n, max_depth, p_env):
+    """Pre-sampled env NEE candidates: max_depth*7 arrays of (N,) f32
+    [wi.xyz, pdf*p_env, L.rgb] per bounce.
+
+    The kernel's LCG draw order is 7 per bounce (u_sel, u_light.xy, u_lobe,
+    u_bsdf.xy, u_rr), unconditionally — so the env sample each bounce WOULD
+    draw can be reproduced here from the same per-lane state and handed to
+    the kernel as plain inputs. The environment's direction distribution is
+    position-independent (base/environment.h sample(p, u) ignores p except
+    for shape), which is what makes the hoist exact."""
+    ctx = compiled.context(arrays)
+    env_obj = ctx.environment
+    swl = compiled.spectrum.sample_wavelengths(jnp.zeros((n, 1), jnp.float32))
+    p_dummy = jnp.zeros((n, 3), jnp.float32)
+    out = []
+    for _d in range(max_depth):
+        state, _u_sel = _lcg(state)
+        state, u_l0 = _lcg(state)
+        state, u_l1 = _lcg(state)
+        s = env_obj.sample(ctx, p_dummy, jnp.stack([u_l0, u_l1], -1), swl)
+        out += [s["wi"][:, 0], s["wi"][:, 1], s["wi"][:, 2],
+                s["pdf"] * jnp.float32(p_env),
+                s["L"][:, 0], s["L"][:, 1], s["L"][:, 2]]
+        for _k in range(4):
+            state, _ = _lcg(state)
+    return out
+
+
 def _run_kernel(compiled, arrays, comps, n, nb, in_specs, *, cam,
                 max_depth, rr_depth, rr_threshold, interpret,
-                persist_spp=0):
+                persist_spp=0, env_chunks=None, p_env=0.0):
     tables = _host_tables(compiled)
     n_entry = compiled.plan.num_lights
+    has_env = env_chunks is not None
+    env_distance = float(compiled.plan.env_distance) if has_env else 0.0
     kernel = partial(
         _fused_kernel,
         tables=tables,
@@ -1474,27 +1606,64 @@ def _run_kernel(compiled, arrays, comps, n, nb, in_specs, *, cam,
         max_depth=int(max_depth),
         rr_depth=int(rr_depth),
         rr_threshold=float(rr_threshold),
-        p_light=1.0 / max(n_entry, 1),
+        p_light=(1.0 - p_env) / max(n_entry, 1),
         unroll=UNROLL_DEPTH and not interpret,
         cam=cam,
         persist_spp=int(persist_spp),
+        p_env=float(p_env),
+        env_distance=env_distance,
+        has_env=has_env,
     )
-    lr, lg, lb, nrays = pl.pallas_call(
+    n_out = 11 if has_env else 4
+    if has_env:
+        pad = nb * BLK - n
+        d7 = len(env_chunks)
+        envb = jnp.stack(
+            [_blocked(c, pad, nb) for c in env_chunks], axis=1
+        )  # (nb, depth*7, SUB, 128)
+        comps = list(comps) + [envb]
+        in_specs = list(in_specs) + [
+            pl.BlockSpec(
+                (1, d7, SUB, 128), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=[_ray_spec] * 4,
+        out_specs=[_ray_spec] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, SUB, 128), jnp.int32),
-        ],
+        ] + [
+            jax.ShapeDtypeStruct((nb, SUB, 128), jnp.float32)
+        ] * (n_out - 4),
         interpret=interpret,
     )(*comps)
+    lr, lg, lb, nrays = outs[:4]
     rgb = jnp.stack(
         [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
     )
+    if has_env:
+        # deferred miss pass (dense XLA): env radiance + MIS for escaped
+        # rays; mirrors common.bounce_step's evaluate_miss contribution
+        mbr, mbg, mbb, mpdf, mdx, mdy, mdz = (
+            o.reshape(-1)[:n] for o in outs[4:]
+        )
+        ctx = compiled.context(arrays)
+        env_obj = ctx.environment
+        swl = compiled.spectrum.sample_wavelengths(
+            jnp.zeros((n, 1), jnp.float32)
+        )
+        dirs = jnp.stack([mdx, mdy, mdz], axis=-1)
+        ev = env_obj.evaluate(ctx, dirs, swl)
+        pdf_env = ev["pdf"] * jnp.float32(p_env)
+        w = _balance(mpdf, pdf_env)
+        mb = jnp.stack([mbr, mbg, mbb], axis=-1)
+        rgb = rgb + mb * ev["L"] * w[..., None]
     return rgb, jnp.sum(nrays.reshape(-1)[:n])
 
 
@@ -1504,7 +1673,7 @@ def _blocked(x, pad, nb, fill=0.0):
 
 def trace_paths_fused(
     compiled, arrays, rays, cam_weight, state0, *, max_depth, rr_depth,
-    rr_threshold, interpret=False,
+    rr_threshold, interpret=False, light_sampler=None,
 ):
     """Run the fused whole-path kernel on pre-generated camera rays.
     Returns (rgb (N, 3), n_rays scalar).
@@ -1528,10 +1697,16 @@ def trace_paths_fused(
         _blocked(cam_weight, pad, nb),
         _blocked(state0, pad, nb),
     ]
+    p_env = _selection_p_env(compiled, light_sampler)
+    env_chunks = None
+    if getattr(compiled.plan, "has_environment", False):
+        env_chunks = _env_nee_candidates(
+            compiled, arrays, state0, n, max_depth, p_env
+        )
     return _run_kernel(
         compiled, arrays, comps, n, nb, [_ray_spec] * 10, cam=None,
         max_depth=max_depth, rr_depth=rr_depth, rr_threshold=rr_threshold,
-        interpret=interpret,
+        interpret=interpret, env_chunks=env_chunks, p_env=p_env,
     )
 
 
@@ -1542,7 +1717,7 @@ _smem_spec = pl.BlockSpec(
 
 def trace_paths_fused_camgen(
     compiled, arrays, cam, pixel_xy, sample_index, *, max_depth, rr_depth,
-    rr_threshold, interpret=False,
+    rr_threshold, interpret=False, light_sampler=None,
 ):
     """Fused kernel with IN-KERNEL camera-ray generation AND sampler
     seeding: per-lane inputs are just the pixel ids (sample-invariant, so
@@ -1557,10 +1732,30 @@ def trace_paths_fused_camgen(
         _blocked(pixel_xy[..., 1], pad, nb),
         jnp.reshape(jnp.asarray(sample_index, jnp.int32), (1, 1)),
     ]
+    p_env = _selection_p_env(compiled, light_sampler)
+    env_chunks = None
+    if getattr(compiled.plan, "has_environment", False):
+        # reproduce the kernel's per-lane seed + the 2 camera-filter draws,
+        # then pre-sample the per-bounce env candidates from the same stream
+        px_i = pixel_xy[..., 0].astype(jnp.int32)
+        py_i = pixel_xy[..., 1].astype(jnp.int32)
+        si = jnp.zeros_like(px_i) + jnp.asarray(sample_index, jnp.int32)
+        st0 = _xxhash32_4(
+            jax.lax.bitcast_convert_type(si, jnp.uint32),
+            jax.lax.bitcast_convert_type(px_i, jnp.uint32),
+            jax.lax.bitcast_convert_type(py_i, jnp.uint32),
+            jnp.uint32(cam["sampler_seed"]),
+        )
+        st0, _ = _lcg(st0)
+        st0, _ = _lcg(st0)
+        env_chunks = _env_nee_candidates(
+            compiled, arrays, st0, n, max_depth, p_env
+        )
     return _run_kernel(
         compiled, arrays, comps, n, nb,
         [_ray_spec, _ray_spec, _smem_spec], cam=cam, max_depth=max_depth,
         rr_depth=rr_depth, rr_threshold=rr_threshold, interpret=interpret,
+        env_chunks=env_chunks, p_env=p_env,
     )
 
 
@@ -1570,7 +1765,15 @@ def trace_paths_fused_persistent(
 ):
     """Persistent megawave kernel: runs n_samples samples per pixel inside
     ONE launch with in-kernel path regeneration (no per-sample dead tail).
-    Returns (rgb_sum (N, 3) — the SUM over n_samples — and n_rays)."""
+    Returns (rgb_sum (N, 3) — the SUM over n_samples — and n_rays).
+
+    Env scenes are excluded: regeneration makes per-lane draw offsets
+    path-length-dependent, so the pre-sampled env candidates (see
+    _env_nee_candidates) cannot be aligned; callers route env scenes to the
+    per-pass megapath instead."""
+    assert not getattr(compiled.plan, "has_environment", False), (
+        "persistent fused mode does not support environments"
+    )
     n = pixel_xy.shape[0]
     pad = (-n) % BLK
     nb = (n + pad) // BLK
@@ -1594,8 +1797,9 @@ FORCE_INTERPRET = False
 def use_fused(compiled, sampler, light_sampler) -> bool:
     """Runtime eligibility: compile-time plan flag + node types + backend.
 
-    The uniform light sampler's env_prob is irrelevant here: the fused plan
-    has no environment, so p_env resolves to 0 for any setting."""
+    Env scenes are eligible (round 5): NEE candidates are pre-sampled
+    outside the kernel and misses are evaluated in a deferred dense pass;
+    the uniform light sampler's env_prob rides in as the static p_env."""
     if os.environ.get("LUISARENDER_TPU_NO_FUSED"):
         return False
     if not getattr(compiled.plan, "fused_path", False):

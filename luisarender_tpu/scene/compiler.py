@@ -1057,6 +1057,7 @@ class SceneCompiler:
             bool(self._medium_types) or env_medium_ref is not None,
             two_level,
             n_spheres=len(sphere_rows),
+            environment=env if has_env else None,
         )
         if fused_pack is not None:
             arrays["fused"] = {

@@ -15,6 +15,9 @@ LOD comes from ray-cone footprints (Interaction.footprint, trilinear blend).
 
 from __future__ import annotations
 
+import os as _os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,17 +27,49 @@ from ..utils import imageio
 from .base import Texture
 
 
+@jax.custom_vjp
 def _atlas_gather(atlas, yi, xi):
     """One batched texel gather for all four bilinear corners.
 
     Batching the corners into ONE gather call matters on TPU (each XLA
-    gather call on ~1M dynamic indices costs milliseconds, PERF.md). A
-    sort+sorted-segment-sum custom BACKWARD was tried for the round-3
-    `grad_pass_overhead_mesh` miss and measured a WASH against the plain
-    scatter-add VJP (29.5 vs 26.9 ms per 1M cotangents on v5e — the
-    `indices_are_sorted` hint buys nothing), so the default VJP stands;
-    negative result recorded in PERF.md round 4."""
+    gather call on ~1M dynamic indices costs milliseconds, PERF.md).
+
+    The BACKWARD is a swappable scatter-add: the default XLA scatter
+    (~48 ms per 1M cotangents on v5e) or, with LR_ONEHOT_SCATTER=1, the
+    MXU-shaped sorted-window one-hot matmul (ops/onehot_scatter.py) —
+    faster isolated (37 ms) but slower inside the full adjoint (PERF.md
+    round 5). A sort + sorted-segment-sum variant measured a WASH in
+    round 4 (`indices_are_sorted` buys nothing on TPU)."""
     return atlas[yi, xi]
+
+
+def _atlas_gather_fwd(atlas, yi, xi):
+    return atlas[yi, xi], (yi, xi, atlas.shape)
+
+
+def _atlas_gather_bwd(res, ct):
+    yi, xi, shape = res
+    h, w, c = shape
+    bins = (yi * w + xi).reshape(-1)
+    g = ct.reshape(-1, c)
+    # DEFAULT = XLA scatter: the one-hot path wins isolated (37 vs 48 ms
+    # per 1M cotangents) but LOSES in the full adjoint (t_b 2074 vs 1698 ms
+    # on the 512k-tri textured bench) — its sort+gather prologue doesn't
+    # fuse with the upstream VJP the way the plain scatter does. Kept as
+    # LR_ONEHOT_SCATTER=1 with its own exactness tests.
+    if _os.environ.get("LR_ONEHOT_SCATTER", "0") == "0":
+        grad = (
+            jnp.zeros((h * w, c), jnp.float32).at[bins].add(g)
+            .reshape(h, w, c)
+        )
+    else:
+        from ..ops.onehot_scatter import scatter_add_2d
+
+        grad = scatter_add_2d(h, w, bins, g)
+    return grad, None, None
+
+
+_atlas_gather.defvjp(_atlas_gather_fwd, _atlas_gather_bwd)
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -188,4 +223,14 @@ class ImageTexture(Texture):
         fl = (lod - l0.astype(jnp.float32))[..., None]
         v0 = ImageTexture._bilinear(atlas, rects[base + l0], u, v)
         v1 = ImageTexture._bilinear(atlas, rects[base + l1], u, v)
+        # gradients flow through the FINER sampled mip only (v1's VJP is
+        # cut): atlas-gradient scatters are the measured adjoint wall (~48
+        # ms per 1M cotangents x one call per bilinear, PERF.md round 5)
+        # and the second mip level doubles them for a blend-weight nuance.
+        # The reference's differentiable texture path has no mips AT ALL
+        # (image.cpp:166 stubs LOD), so finer-mip-only is strictly closer
+        # to reference semantics than full trilinear gradients would be.
+        # LR_TEX_GRAD_FULLMIP=1 restores full trilinear gradients.
+        if _os.environ.get("LR_TEX_GRAD_FULLMIP", "0") == "0":
+            v1 = jax.lax.stop_gradient(v1)
         return (v0 * (1.0 - fl) + v1 * fl) * r["scale"]

@@ -153,9 +153,9 @@ def load_exr(path):
 # ---------------------------------------------------------------------------
 
 
-def save_png(path, image: np.ndarray):
-    """image: (H, W, 3|4) in [0, 1] linear-encoded already (caller applies
-    tonemap/sRGB encode); writes 8-bit PNG."""
+def png_bytes(image: np.ndarray) -> bytes:
+    """Encode (H, W, 1|3|4) [0,1] to an in-memory 8-bit PNG (own writer —
+    also feeds the display film's HTTP live viewer, films/live_server.py)."""
     img = np.clip(np.asarray(image), 0.0, 1.0)
     img8 = (img * 255.0 + 0.5).astype(np.uint8)
     h, w, c = img8.shape
@@ -168,11 +168,19 @@ def save_png(path, image: np.ndarray):
             ">I", zlib.crc32(body) & 0xFFFFFFFF
         )
 
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def save_png(path, image: np.ndarray):
+    """image: (H, W, 3|4) in [0, 1] linear-encoded already (caller applies
+    tonemap/sRGB encode); writes 8-bit PNG."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(image))
 
 
 # ---------------------------------------------------------------------------

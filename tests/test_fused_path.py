@@ -224,3 +224,106 @@ class TestPersistentMegawave:
             np.testing.assert_allclose(img_w, img_m, atol=1e-5)
         finally:
             fp.FORCE_INTERPRET = old
+
+
+class TestFusedEnvironment:
+    """Round-5 widening: environments in the fused kernel via pre-sampled
+    NEE candidates + a deferred miss pass (fused_path._env_nee_candidates).
+    Fused and unfused paths share draws, so images must agree lane-wise to
+    boundary-flip noise on BOTH constant and image (alias-table) envs."""
+
+    def _env_scene(self, env, res=16, depth=3):
+        d = testing.cornell_box(resolution=(res, res), spp=4, depth=depth)
+        d["render"]["environment"] = env
+        scene = lr.Scene.from_dict(d)
+        return scene, lr.compile_scene(scene)
+
+    def _compare(self, env, res=16, depth=3, n_samples=2):
+        scene, compiled = self._env_scene(env, res, depth)
+        assert compiled.plan.fused_path, "env scene must route fused"
+        acc_ref = np.zeros((res * res, 3))
+        acc_f = np.zeros((res * res, 3))
+        for si in range(n_samples):
+            rgb, _ = _trace(scene, compiled, res, si, depth)
+            acc_ref += rgb
+        fused_path.FORCE_INTERPRET = True
+        try:
+            assert fused_path.use_fused(
+                compiled, scene.integrator.sampler,
+                scene.integrator.light_sampler,
+            )
+            for si in range(n_samples):
+                rgb, _ = _trace(scene, compiled, res, si, depth)
+                acc_f += rgb
+        finally:
+            fused_path.FORCE_INTERPRET = False
+        img_ref = acc_ref / n_samples
+        img_f = acc_f / n_samples
+        frac_diff = (np.abs(img_ref - img_f).max(-1) > 1e-3).mean()
+        assert frac_diff < 0.02, frac_diff
+        assert abs(img_ref.mean() - img_f.mean()) < 0.02 * max(
+            img_ref.mean(), 1e-6
+        ), (img_ref.mean(), img_f.mean())
+        assert img_f.mean() > 0.01
+
+    def test_constant_env_matches_unfused(self):
+        self._compare({
+            "impl": "spherical",
+            "prop": {
+                "emission": {
+                    "impl": "constant", "prop": {"v": [0.4, 0.5, 0.7]}
+                }
+            },
+        })
+
+    def test_image_env_matches_unfused(self, tmp_path):
+        from luisarender_tpu.utils import imageio as iio
+
+        rng = np.random.default_rng(5)
+        hdr = (rng.uniform(0.05, 1.0, (8, 16, 3)) ** 2).astype(np.float32)
+        hdr[2, 5] = [25.0, 20.0, 5.0]  # a bright 'sun' texel
+        p = tmp_path / "env.exr"
+        iio.save_exr(str(p), hdr)
+        self._compare({
+            "impl": "spherical",
+            "prop": {
+                "emission": {
+                    "impl": "image", "prop": {"file": str(p)}
+                }
+            },
+        })
+
+    def test_env_only_scene(self):
+        """No area lights at all: p_env = 1, NEE entirely via candidates."""
+        d = testing.cornell_box(resolution=(16, 16), spp=4, depth=3)
+        d["render"]["shapes"] = [
+            s for s in d["render"]["shapes"]
+            if "light" not in s.get("prop", {})
+        ]
+        d["render"]["environment"] = {
+            "impl": "spherical",
+            "prop": {
+                "emission": {
+                    "impl": "constant", "prop": {"v": [1.0, 0.8, 0.6]}
+                }
+            },
+        }
+        scene = lr.Scene.from_dict(d)
+        compiled = lr.compile_scene(scene)
+        assert compiled.plan.fused_path
+        res, depth = 16, 3
+        acc_ref = np.zeros((res * res, 3))
+        acc_f = np.zeros((res * res, 3))
+        for si in range(2):
+            rgb, _ = _trace(scene, compiled, res, si, depth)
+            acc_ref += rgb
+        fused_path.FORCE_INTERPRET = True
+        try:
+            for si in range(2):
+                rgb, _ = _trace(scene, compiled, res, si, depth)
+                acc_f += rgb
+        finally:
+            fused_path.FORCE_INTERPRET = False
+        assert abs(acc_ref.mean() - acc_f.mean()) < 0.02 * max(
+            acc_ref.mean(), 1e-6
+        )
