@@ -446,12 +446,27 @@ def trace_closest(geom, rays) -> Hit:
     from . import twolevel
 
     if isinstance(geom, twolevel.TraceGeometry2L):
+        if _use_2l_cluster(geom):
+            return twolevel.trace_closest_2l_cluster(geom, rays)
         return twolevel.trace_closest_2l(geom, rays)
     if getattr(geom, "sph", None) is not None:
         return _merge_sphere_closest(
             geom, rays, lambda r: _trace_closest_tris(geom, r)
         )
     return _trace_closest_tris(geom, rays)
+
+
+def _use_2l_cluster(geom) -> bool:
+    """Composed two-level cluster path: per-instance launches of the
+    cluster kernel over shared per-mesh tables (twolevel.py round 5)."""
+    from ..ops import cluster_pallas
+
+    return (
+        cluster_pallas.ENABLED
+        and len(geom.cluster_sets) > 0
+        and len(geom.inst_mesh) > 0
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _trace_closest_tris(geom, rays) -> Hit:
@@ -488,6 +503,8 @@ def trace_any(geom, rays):
     from . import twolevel
 
     if isinstance(geom, twolevel.TraceGeometry2L):
+        if _use_2l_cluster(geom):
+            return twolevel.trace_any_2l_cluster(geom, rays)
         return twolevel.trace_any_2l(geom, rays)
     if getattr(geom, "sph", None) is not None:
         occ_s = _sphere_any(geom.sph, rays)

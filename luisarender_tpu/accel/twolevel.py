@@ -62,6 +62,12 @@ class TraceGeometry2L(NamedTuple):
     inst_rows: jnp.ndarray  # (I, INST_COLS) float32
     leaf_size: int
     num_tris: int  # total instanced (logical) triangles
+    # composed cluster path (round 5): per-unique-mesh cluster tables
+    # shared by every instance, plus STATIC per-instance routing info
+    cluster_sets: tuple = ()  # ((node_table, tri_table), ...) per mesh
+    inst_mesh: tuple = ()  # instance -> mesh id (python ints, static)
+    inst_opaque: tuple = ()  # static: instance blocks shadow rays
+    inst_visible: tuple = ()  # static: instance visible to closest rays
 
 
 def _xform_point(row, base, p):
@@ -271,3 +277,83 @@ def trace_closest_2l(
 def trace_any_2l(geom: TraceGeometry2L, rays):
     hit = trace_closest_2l(geom, rays, shadow=True)
     return ~hit.miss
+
+
+# ---------------------------------------------------------------------------
+# Composed cluster path (round 5): per-instance launches of the
+# cluster-streaming Pallas tracer over SHARED per-mesh tables
+# ---------------------------------------------------------------------------
+
+
+def _inst_ray(geom, i, rays):
+    """Rays in instance i's object space (direction NOT renormalized, so t
+    is shared between spaces and hit ordering is global)."""
+    row = geom.inst_rows[i][None, :]
+    o = _xform_point(row, 0, rays.origin)
+    d = _xform_vector(row, 0, rays.direction)
+    return o, d
+
+
+def trace_closest_2l_cluster(geom: TraceGeometry2L, rays, interpret=False):
+    """Closest hit for two-level scenes via the cluster kernel.
+
+    The reference's TLAS/BLAS split is its FAST path for instanced scenes
+    (base/geometry.cpp:16,62-67: hardware instancing). The TPU composition:
+    one cluster-kernel launch per INSTANCE against its mesh's shared
+    tables, rays moved to object space per launch, with the running best_t
+    fed to each successive launch as t_max — later instances prune against
+    earlier hits, and fully-pruned lanes ride the kernel's dead-to-tail
+    sort into all-dead packets that exit at the root test. Instance
+    visibility/opacity are STATIC python skips. Returned prim = GLOBAL
+    shade-row slot (the per-mesh tables carry prim-offset canonical ids),
+    exactly like trace_closest_2l."""
+    from ..ops import cluster_pallas as cp
+
+    n = rays.origin.shape[0]
+    best_t = jnp.minimum(rays.t_max, 3.0e38)
+    best_prim = jnp.full((n,), -1, jnp.int32)
+    best_inst = jnp.full((n,), -1, jnp.int32)
+    best_u = jnp.zeros((n,), jnp.float32)
+    best_v = jnp.zeros((n,), jnp.float32)
+    for i, mesh_i in enumerate(geom.inst_mesh):
+        if not geom.inst_visible[i]:
+            continue
+        o, d = _inst_ray(geom, i, rays)
+        nodes, tris = geom.cluster_sets[mesh_i]
+        t, slot, u, v = cp._trace(
+            o, d, rays.t_min, best_t, nodes, tris, False, interpret
+        )
+        ok = (slot >= 0) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_prim = jnp.where(ok, slot, best_prim)
+        best_inst = jnp.where(ok, jnp.int32(i), best_inst)
+        best_u = jnp.where(ok, u, best_u)
+        best_v = jnp.where(ok, v, best_v)
+    found = best_prim >= 0
+    return Hit(
+        inst=jnp.where(found, best_inst, -1),
+        prim=best_prim,
+        bary=jnp.stack([best_u, best_v], axis=-1),
+        t=jnp.where(found, best_t, jnp.inf),
+    )
+
+
+def trace_any_2l_cluster(geom: TraceGeometry2L, rays, interpret=False):
+    """Occlusion for two-level scenes via per-instance any-hit launches.
+    Already-occluded lanes get t_max = 0 for later instances (dead-lane
+    fast path); non-blocking instances are static skips."""
+    from ..ops import cluster_pallas as cp
+
+    n = rays.origin.shape[0]
+    occ = jnp.zeros((n,), bool)
+    for i, mesh_i in enumerate(geom.inst_mesh):
+        if not (geom.inst_visible[i] and geom.inst_opaque[i]):
+            continue
+        o, d = _inst_ray(geom, i, rays)
+        nodes, tris = geom.cluster_sets[mesh_i]
+        t_max = jnp.where(occ, 0.0, rays.t_max)
+        _, slot, _, _ = cp._trace(
+            o, d, rays.t_min, t_max, nodes, tris, True, interpret
+        )
+        occ = occ | (slot >= 0)
+    return occ

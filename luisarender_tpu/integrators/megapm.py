@@ -450,34 +450,57 @@ class PhotonMapping(ProgressiveIntegrator):
         )
         radius = world_diag * self.initial_radius_scale
 
-        # cache the jitted iteration per (scene, camera): a fresh closure
-        # per render() call would force a full recompile every call
+        # cache the jitted multi-iteration launch per (scene, camera): a
+        # fresh closure per render() call would force a full recompile
         cache = getattr(self, "_iter_cache", None)
         if cache is None:
             cache = self._iter_cache = {}
         key = (id(compiled), id(camera))
-        iteration = cache.get(key)
-        if iteration is None:
+        run_block = cache.get(key)
+        if run_block is None:
 
-            @partial(jax.jit, donate_argnums=(1,))
-            def iteration(arrays, accum, i, radius):
-                photons = self._emit_photons(compiled, arrays, i)
-                grid = self._build_grid(compiled, arrays, photons, radius)
-                n_emitted = jnp.float32(self.photons_per_iter)
-                rgb, weight = self._camera_pass(
-                    compiled, arrays, camera, pixel_xy, i,
-                    grid, radius, n_emitted,
-                )
-                return film.accumulate_image(
-                    accum, rgb.reshape(h, w, 3), weight.reshape(h, w)
-                )
+            @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
+            def run_block(arrays, accum, i0, count, radii):
+                # BATCHED SPPM iterations: the shared-radius shrink
+                # (megapm.cpp:43) is a closed-form function of the
+                # iteration index, so `count` iterations run inside ONE
+                # launch with the per-iteration radius read from a
+                # precomputed table — no host round trip between
+                # iterations (per-call dispatch was ~3 ms of the 35 ms
+                # iteration budget)
+                def one(k, accum):
+                    i = i0 + k
+                    radius = radii[i]
+                    photons = self._emit_photons(compiled, arrays, i)
+                    grid = self._build_grid(
+                        compiled, arrays, photons, radius
+                    )
+                    n_emitted = jnp.float32(self.photons_per_iter)
+                    rgb, weight = self._camera_pass(
+                        compiled, arrays, camera, pixel_xy, i,
+                        grid, radius, n_emitted,
+                    )
+                    return film.accumulate_image(
+                        accum, rgb.reshape(h, w, 3), weight.reshape(h, w)
+                    )
 
-            cache[key] = iteration
+                return jax.lax.fori_loop(0, count, one, accum)
 
-        accum = film.prepare()
+            cache[key] = run_block
+
+        # SPPM shared-radius sequence r_i (megapm.cpp:43), precomputed
+        radii = np.empty((spp,), np.float32)
         r = radius
         for i in range(spp):
-            accum = iteration(arrays, accum, jnp.int32(i), jnp.float32(r))
-            # SPPM shared-radius shrink (megapm.cpp:43)
+            radii[i] = r
             r = float(np.sqrt(r * r * (i + self.alpha) / (i + 1.0)))
+        radii_d = jnp.asarray(radii)
+
+        accum = film.prepare()
+        block = 4
+        i = 0
+        while i < spp:
+            n_it = min(block, spp - i)
+            accum = run_block(arrays, accum, jnp.int32(i), n_it, radii_d)
+            i += n_it
         return film.develop(accum)
