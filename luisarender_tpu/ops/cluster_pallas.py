@@ -109,25 +109,30 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
     canon_of_orig (T,) i32 = canonical sorted slot (the index into the
     shade table / 'trace' arrays) of each ORIGINAL triangle id.
 
-    Cluster packing (round 5): SAH leaves at CLUSTER=128 granularity fill
-    only 65% of their blocks on the 512k-tri bench scene, so 35% of every
-    Phase-B Möller-Trumbore sweep tested padding. Instead the SAH tree is
-    built at fine granularity (leaf_size=8), its pre-order leaf runs are
-    first-fit packed into near-full <=128-tri clusters (fill ~0.97 — runs
-    of consecutive pre-order leaves are spatially coherent by construction),
-    and the COARSE tree is a second SAH build over one degenerate triangle
-    per cluster whose AABB equals the cluster's bounds. Fewer, fuller
-    clusters = proportionally fewer speculative pair tests (the measured
-    Phase-B wall, PERF.md round-4 final).
+    Cluster packing (round 5, opt-in LR_PACK=1): SAH leaves at CLUSTER=128
+    granularity fill only 65% of their blocks, so 35% of every Phase-B
+    Möller-Trumbore sweep tested padding. Packing (SAH at leaf_size=8 +
+    first-fit pre-order runs + surface-area growth guard + a coarse SAH
+    over per-cluster degenerate tris) reaches fill 0.91 and wins camera
+    packets 1.72x — but the meshheavy E2E measured ~10% SLOWER (deep
+    bounce/shadow waves pay more for fatter boxes than fill saves), so
+    the default stays one-leaf-per-block; full numbers in PERF.md round 5.
     """
     from ..accel.bvh import build_bvh
     from ..accel.native import build_bvh_sah
 
     positions = np.asarray(positions, np.float32)
     triangles = np.asarray(triangles, np.int32)
-    bvh = build_bvh_sah(positions, triangles, leaf_size=PACK_LEAF)
+    # DEFAULT = unpacked (one SAH leaf per block): packing to fill 0.91
+    # wins CAMERA packets 1.72x and even bounce-1 waves 6%, but LOSES the
+    # meshheavy e2e ~10% (measured 0.94 vs 1.05 Mray/s) — DEEP bounce and
+    # shadow waves pay more for the fatter packed boxes than the fill
+    # saves. LR_PACK=1 opts in for camera-dominant workloads.
+    packing = _os.environ.get("LR_PACK", "0") == "1"
+    pack_leaf = PACK_LEAF if packing else CLUSTER
+    bvh = build_bvh_sah(positions, triangles, leaf_size=pack_leaf)
     if bvh is None:
-        bvh = build_bvh(positions, triangles, leaf_size=PACK_LEAF)
+        bvh = build_bvh(positions, triangles, leaf_size=pack_leaf)
 
     # ---- pack pre-order leaf runs into tight clusters.
     # Greedy fill alone regressed BOUNCE waves on the 512k scene: packing
@@ -166,7 +171,7 @@ def build_cluster_tables(positions, triangles, opaque_orig, canon_of_orig):
             continue
         lo = tmin[ids].min(0)
         hi = tmax[ids].max(0)
-        close = cur_n + ids.size > CLUSTER
+        close = cur_n + ids.size > CLUSTER or not packing
         if not close and cur_n >= min_fill:
             mlo = np.minimum(cur_lo, lo)
             mhi = np.maximum(cur_hi, hi)

@@ -133,14 +133,18 @@ def test_subpacket_any_matches_brute():
     assert (ref == new).mean() > 0.998
 
 
-def test_nan_bary_interaction_recompute():
+def test_nan_bary_interaction_recompute(monkeypatch):
     """surface_interaction recomputes exact (u, v) for NaN-bary hits from
-    the shade row — positions/uv must match the brute tracer's bary path."""
+    the shade row — positions/uv must match the brute tracer's bary path.
+    The recompute is only EMITTED when the subpacket tracer is enabled
+    (ADVICE r4: default tracers' bary is already exact), so enable it."""
     from luisarender_tpu.core.types import Hit
     from luisarender_tpu.scene.geometry import (
         build_shade_table,
         surface_interaction,
     )
+
+    monkeypatch.setattr(sp, "ENABLED", True)
 
     T = 100
     positions, triangles = _soup(T, seed=3)
